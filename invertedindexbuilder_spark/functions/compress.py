@@ -1,0 +1,229 @@
+"""Varbyte + gap compression codecs (numpy-vectorized).
+
+Byte format matches the reference exactly (var_bytes.c:5-40,
+model_support.c:127-270):
+
+- varbyte: little-endian base-128 digits, stop bit (``+128``) on the
+  most-significant (LAST) byte; value 0 encodes as the single byte 0x80.
+- posting payload per term: blocks of <= 128 postings; per block all
+  doc-gap varbytes then all freq varbytes.  Doc-ids are delta-coded
+  against the previous posting and the delta chain CONTINUES across
+  block boundaries; the first gap of a list is the absolute doc_id
+  (prev starts at 0).  Freqs are varbyte but NOT gap-coded.
+- per-term metadata: ``df``, last-absolute-doc-id per block (varbyte
+  table), block payload size in bytes per block (varbyte table).
+
+These are plain numpy functions so they can run inside Arrow-batched
+pandas UDFs with no Spark dependency (and be property-tested directly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from invertedindexbuilder_spark import BLOCK_SIZE
+
+_U64 = np.uint64
+_MAX_VB_BYTES = 10  # enough for any uint64
+
+
+def vb_byte_lengths(values: np.ndarray) -> np.ndarray:
+    """Number of varbyte bytes for each non-negative int (0 -> 1 byte)."""
+    v = np.asarray(values, dtype=_U64)
+    lens = np.ones(v.shape, dtype=np.int64)
+    thresh = _U64(128)
+    while True:
+        mask = v >= thresh
+        if not mask.any():
+            break
+        lens[mask] += 1
+        # shift threshold by 7 bits; cap to avoid overflow past 2**63
+        if int(thresh) > (1 << 56):
+            lens[v >= _U64(1 << 63)] = _MAX_VB_BYTES
+            break
+        thresh = _U64(int(thresh) << 7)
+    return lens
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Concatenated varbyte encoding of a 1-D array of non-negative ints."""
+    v = np.asarray(values, dtype=_U64)
+    if v.size == 0:
+        return b""
+    lens = vb_byte_lengths(v)
+    total = int(lens.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    max_len = int(lens.max())
+    for d in range(max_len):
+        mask = lens > d
+        out[starts[mask] + d] = (v[mask] >> _U64(7 * d)).astype(_U64) & _U64(0x7F)
+    out[starts + lens - 1] += 128  # stop bit on most-significant byte
+    return out.tobytes()
+
+
+def vb_decode(data: bytes, count: int | None = None) -> np.ndarray:
+    """Decode a concatenated varbyte byte string into an int64 array.
+
+    If ``count`` is given, stops after that many values (ignoring any
+    trailing bytes); otherwise decodes the whole buffer.
+    """
+    b = np.frombuffer(data, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    is_stop = b >= 128
+    stops = np.flatnonzero(is_stop)
+    if count is not None:
+        stops = stops[:count]
+    starts = np.concatenate(([0], stops[:-1] + 1))
+    # position of each byte within its value
+    n_vals = stops.size
+    lens = stops - starts + 1
+    val_idx = np.repeat(np.arange(n_vals), lens)
+    pos = np.arange(int(stops[-1]) + 1 if n_vals else 0) - np.repeat(starts, lens)
+    digits = (b[: pos.size] & 0x7F).astype(_U64) << (_U64(7) * pos.astype(_U64))
+    out = np.zeros(n_vals, dtype=_U64)
+    np.add.at(out, val_idx, digits)
+    return out.astype(np.int64)
+
+
+def encode_posting_list(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    prev_doc_id: int = 0,
+    block_size: int = BLOCK_SIZE,
+):
+    """Encode one (chunk of a) doc_id-sorted posting list.
+
+    ``prev_doc_id`` is the delta-chain base: 0 for a whole list (the
+    reference's semantics, model_support.c:150 ``prev_doc_id = 0``), or
+    the previous chunk's last doc_id when a skew-salted heavy term is
+    encoded in doc-range chunks (SURVEY §7.4).
+
+    Returns ``(last_doc_ids, block_bytes, max_tf, payload)`` where the
+    first three are per-block int arrays (max_tf is our block-max WAND
+    addition; the reference stores only last-doc + size tables) and
+    ``payload`` is the concatenated block bytes (gaps then freqs per
+    block), byte-identical to the reference's block region.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = doc_ids.size
+    if n == 0:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+            b"",
+        )
+    gaps = np.diff(doc_ids, prepend=np.int64(prev_doc_id))
+    gap_lens = vb_byte_lengths(gaps)
+    tf_lens = vb_byte_lengths(tfs)
+
+    n_blocks = (n - 1) // block_size + 1
+    pad = n_blocks * block_size - n
+    if pad:
+        pad_z = np.zeros(pad, dtype=np.int64)
+        gap_lens_p = np.concatenate([gap_lens, pad_z])
+        tf_lens_p = np.concatenate([tf_lens, pad_z])
+        tfs_p = np.concatenate([tfs, pad_z])
+        docs_p = np.concatenate([doc_ids, np.full(pad, -1, dtype=np.int64)])
+    else:
+        gap_lens_p, tf_lens_p, tfs_p, docs_p = gap_lens, tf_lens, tfs, doc_ids
+
+    gl = gap_lens_p.reshape(n_blocks, block_size)
+    tl = tf_lens_p.reshape(n_blocks, block_size)
+    block_bytes = (gl.sum(axis=1) + tl.sum(axis=1)).astype(np.int64)
+    last_doc_ids = docs_p.reshape(n_blocks, block_size).max(axis=1)
+    max_tf = tfs_p.reshape(n_blocks, block_size).max(axis=1)
+
+    # payload: per block, gap bytes then freq bytes.  Build via one
+    # interleaved value array so a single vb_encode call suffices.
+    vals = np.empty(2 * n, dtype=np.int64)
+    w = 0
+    for blk in range(n_blocks):
+        lo = blk * block_size
+        hi = min(lo + block_size, n)
+        cnt = hi - lo
+        vals[w : w + cnt] = gaps[lo:hi]
+        w += cnt
+        vals[w : w + cnt] = tfs[lo:hi]
+        w += cnt
+    payload = vb_encode(vals)
+    return last_doc_ids, block_bytes, max_tf, payload
+
+
+def decode_posting_list(
+    payload: bytes,
+    df: int,
+    block_bytes: np.ndarray,
+    prev_doc_id: int = 0,
+    block_size: int = BLOCK_SIZE,
+):
+    """Inverse of :func:`encode_posting_list` -> (doc_ids, tfs)."""
+    n_blocks = len(block_bytes)
+    doc_ids = np.empty(df, dtype=np.int64)
+    tfs = np.empty(df, dtype=np.int64)
+    off = 0
+    done = 0
+    prev = prev_doc_id
+    for blk in range(n_blocks):
+        cnt = min(block_size, df - done)
+        blen = int(block_bytes[blk])
+        vals = vb_decode(payload[off : off + blen], count=2 * cnt)
+        gaps = vals[:cnt]
+        docs = np.cumsum(gaps) + prev
+        doc_ids[done : done + cnt] = docs
+        tfs[done : done + cnt] = vals[cnt : 2 * cnt]
+        prev = int(docs[-1])
+        off += blen
+        done += cnt
+    return doc_ids, tfs
+
+
+def decode_blocks_pruned(
+    payload: bytes,
+    df: int,
+    last_doc_ids: np.ndarray,
+    block_bytes: np.ndarray,
+    min_doc_id: int,
+    prev_doc_id: int = 0,
+    block_size: int = BLOCK_SIZE,
+):
+    """Decode only blocks whose last_doc_id >= min_doc_id (the Spark
+    analog of the reference's nextGEQ block skipping, inverted_list.c:36-77)
+    plus correct delta-chain re-basing: skipped block K's base is
+    last_doc_ids[K-1], which is stored, so no skipped bytes are read.
+
+    Returns (doc_ids, tfs) of the surviving suffix of the list.
+    """
+    last_doc_ids = np.asarray(last_doc_ids, dtype=np.int64)
+    block_bytes = np.asarray(block_bytes, dtype=np.int64)
+    first = int(np.searchsorted(last_doc_ids, min_doc_id, side="left"))
+    if first >= last_doc_ids.size:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    off = int(block_bytes[:first].sum())
+    base = int(last_doc_ids[first - 1]) if first > 0 else prev_doc_id
+    remaining = df - first * block_size
+    return decode_posting_list(
+        payload[off:],
+        remaining,
+        block_bytes[first:],
+        prev_doc_id=base,
+        block_size=block_size,
+    )
+
+
+def reference_record_bytes(
+    df: int,
+    last_doc_ids: np.ndarray,
+    block_bytes: np.ndarray,
+    payload: bytes,
+) -> bytes:
+    """Assemble the reference's exact on-disk per-term record
+    (model_support.c:213-258): vb(df), vb(len(lastdoc_table)),
+    vb(len(size_table)), lastdoc table, size table, payload."""
+    lastdoc_tbl = vb_encode(np.asarray(last_doc_ids, dtype=np.int64))
+    size_tbl = vb_encode(np.asarray(block_bytes, dtype=np.int64))
+    head = vb_encode(np.array([df, len(lastdoc_tbl), len(size_tbl)], dtype=np.int64))
+    return head + lastdoc_tbl + size_tbl + payload
