@@ -153,14 +153,31 @@ def encode_posting_list(
     return last_doc_ids, block_bytes, max_tf, payload
 
 
+def full_block_counts(df: int, block_size: int = BLOCK_SIZE) -> np.ndarray:
+    """Postings-per-block for a regular (unsalted) list: all full except
+    the tail — the reference's implicit layout."""
+    n_blocks = (df - 1) // block_size + 1 if df else 0
+    counts = np.full(n_blocks, block_size, dtype=np.int64)
+    if n_blocks:
+        counts[-1] = df - block_size * (n_blocks - 1)
+    return counts
+
+
 def decode_posting_list(
     payload: bytes,
     df: int,
     block_bytes: np.ndarray,
     prev_doc_id: int = 0,
     block_size: int = BLOCK_SIZE,
+    block_counts: np.ndarray | None = None,
 ):
-    """Inverse of :func:`encode_posting_list` -> (doc_ids, tfs)."""
+    """Inverse of :func:`encode_posting_list` -> (doc_ids, tfs).
+
+    ``block_counts`` overrides the regular full-blocks layout (needed
+    for merged skew-salted chunks, whose interior blocks may be short).
+    """
+    if block_counts is None:
+        block_counts = full_block_counts(df, block_size)
     n_blocks = len(block_bytes)
     doc_ids = np.empty(df, dtype=np.int64)
     tfs = np.empty(df, dtype=np.int64)
@@ -168,7 +185,7 @@ def decode_posting_list(
     done = 0
     prev = prev_doc_id
     for blk in range(n_blocks):
-        cnt = min(block_size, df - done)
+        cnt = int(block_counts[blk])
         blen = int(block_bytes[blk])
         vals = vb_decode(payload[off : off + blen], count=2 * cnt)
         gaps = vals[:cnt]
@@ -189,6 +206,7 @@ def decode_blocks_pruned(
     min_doc_id: int,
     prev_doc_id: int = 0,
     block_size: int = BLOCK_SIZE,
+    block_counts: np.ndarray | None = None,
 ):
     """Decode only blocks whose last_doc_id >= min_doc_id (the Spark
     analog of the reference's nextGEQ block skipping, inverted_list.c:36-77)
@@ -199,18 +217,22 @@ def decode_blocks_pruned(
     """
     last_doc_ids = np.asarray(last_doc_ids, dtype=np.int64)
     block_bytes = np.asarray(block_bytes, dtype=np.int64)
+    if block_counts is None:
+        block_counts = full_block_counts(df, block_size)
+    block_counts = np.asarray(block_counts, dtype=np.int64)
     first = int(np.searchsorted(last_doc_ids, min_doc_id, side="left"))
     if first >= last_doc_ids.size:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     off = int(block_bytes[:first].sum())
     base = int(last_doc_ids[first - 1]) if first > 0 else prev_doc_id
-    remaining = df - first * block_size
+    remaining = df - int(block_counts[:first].sum())
     return decode_posting_list(
         payload[off:],
         remaining,
         block_bytes[first:],
         prev_doc_id=base,
         block_size=block_size,
+        block_counts=block_counts[first:],
     )
 
 

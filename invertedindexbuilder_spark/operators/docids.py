@@ -1,0 +1,80 @@
+"""Deterministic doc_id assignment without a global bottleneck (SURVEY §7.3).
+
+The reference assigns doc_id = input-file order (main.c:124).  Our
+corpus is a table, so the canonical total order is ``ORDER BY repo,
+path, commit`` (FIXTURES.md §1) and ``doc_id`` is the 0-based global
+rank in that order.
+
+Because (repo, path, commit) is a UNIQUE key, the global rank is a
+pure function of the data — independent of partition count, executor
+count, or range-partitioner sampling — which is what makes doc_ids
+stable between the N and 4N cluster runs (scaling criterion) and
+between re-runs (resumability).
+
+Implementation: one range-repartition shuffle on the sort key, a tiny
+per-partition count aggregation, driver-side prefix sums, then a
+narrow Arrow-batched pass adding ``offset[pid] + local_rank``.  This
+avoids the classic ``row_number() OVER ()`` single-partition trap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+SORT_KEYS = ["repo", "path", "commit"]
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    sort_keys: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a ``doc_id`` column = global 0-based rank over ``sort_keys``.
+
+    The input is persisted (post-shuffle) because both the count pass
+    and the id pass read it; on a real cluster the shuffle files are
+    reused either way, the persist just pins the sorted form.
+    """
+    sort_keys = sort_keys or SORT_KEYS
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    ranged = (
+        df.repartitionByRange(num_partitions, *[F.col(k) for k in sort_keys])
+        .sortWithinPartitions(*sort_keys)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    # RangePartitioner orders partitions by key range, so prefix sums over
+    # pid give each partition's starting global rank.
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+
+    out_schema = df.schema.add("doc_id", "long", False)
+
+    def add_ids(batches):
+        next_id = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if next_id is None:
+                next_id = offsets[int(pdf["_pid"].iloc[0])]
+            n = len(pdf)
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["doc_id"] = np.arange(next_id, next_id + n, dtype=np.int64)
+            next_id += n
+            yield pdf
+
+    result = ranged.mapInPandas(add_ids, schema=out_schema)
+    return result

@@ -1,0 +1,223 @@
+"""Postings -> compressed blockwise index.
+
+This single module replaces the reference's SORT (SRT1), MERGE (M1+M2)
+and FINAL BUILD (F1/F2) phases (sort_phase.c / merge_phase.c /
+final_build.c):
+
+- ONE range-repartition shuffle on (term, salt) + sort-within-partitions
+  on (term, salt, doc_id).  A Spark sort-based shuffle IS a distributed
+  run-generation + k-way-merge external sort, so SRT1/M1 need no code.
+- (term, doc_id) pairs are globally unique by construction (tf is
+  finished inside the tokenize stage), so the reference's duplicate-key
+  combine (M2) is vacuous here.
+- The encoder is a streaming mapInPandas over each sorted partition:
+  contiguous (term, salt) runs are gap+varbyte block-encoded with numpy
+  (byte-identical to the reference block format) with carry-over of the
+  partial trailing run between Arrow batches — no applyInPandas
+  re-shuffle, no per-term Python in the hot loop beyond one call per
+  term.
+
+Skew (SURVEY §7.4): stopword-like terms (df up to ~N) would make one
+shuffle key giant.  Terms whose df exceeds ``salt_threshold`` (computed
+by a cheap partial-agg count) are salted by doc-range:
+``salt = doc_id // (BLOCK_SIZE * chunk_blocks)`` so every salted chunk
+holds whole blocks of a contiguous doc range.  Chunks are encoded
+independently with an ABSOLUTE first gap, and a final cheap per-term
+merge patches chunk k's first varbyte to ``first_doc - prev_chunk_last``
+— producing bytes identical to unsalted whole-list encoding (proved in
+tests/test_varbyte.py::test_chunked_encoding_equals_whole_list).
+
+At 100 TB the chunked table is also the better SERVING layout (parallel
+decode of heavy terms); the merged one-row-per-term ``index`` is the
+reference-parity artifact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from invertedindexbuilder_spark import BLOCK_SIZE
+from invertedindexbuilder_spark.functions.compress import (
+    encode_posting_list,
+    full_block_counts,
+    vb_byte_lengths,
+    vb_encode,
+)
+from invertedindexbuilder_spark.schemas import INDEX, INDEX_CHUNK
+
+DEFAULT_SALT_THRESHOLD = 1_000_000  # postings per shuffle key before salting
+DEFAULT_CHUNK_BLOCKS = 4096  # blocks per salted chunk (~512k postings)
+
+
+def term_document_frequencies(postings: DataFrame) -> DataFrame:
+    """(term, df) — partial-agg (map-side combine) makes this cheap and
+    skew-tolerant even for stopword terms."""
+    return postings.groupBy("term").agg(F.count("*").alias("df"))
+
+
+def heavy_terms(postings: DataFrame, threshold: int) -> list[str]:
+    rows = (
+        term_document_frequencies(postings)
+        .filter(F.col("df") > threshold)
+        .select("term")
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def encode_chunks(
+    postings: DataFrame,
+    num_partitions: int | None = None,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    chunk_blocks: int = DEFAULT_CHUNK_BLOCKS,
+    heavy: list[str] | None = None,
+) -> DataFrame:
+    """postings -> INDEX_CHUNK rows (salt=0 single chunk for light terms)."""
+    spark = postings.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if heavy is None:
+        heavy = heavy_terms(postings, salt_threshold)
+
+    chunk_span = BLOCK_SIZE * chunk_blocks
+    if heavy:
+        heavy_set = set(heavy)
+        is_heavy = F.col("term").isin(list(heavy_set))
+        salted = postings.withColumn(
+            "salt",
+            F.when(is_heavy, (F.col("doc_id") / F.lit(chunk_span)).cast("int"))
+            .otherwise(F.lit(0)),
+        )
+    else:
+        salted = postings.withColumn("salt", F.lit(0).cast("int"))
+
+    ranged = salted.repartitionByRange(
+        num_partitions, F.col("term"), F.col("salt")
+    ).sortWithinPartitions("term", "salt", "doc_id")
+
+    def encoder(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            t_last = pdf["term"].iloc[-1]
+            s_last = pdf["salt"].iloc[-1]
+            tail = (pdf["term"].values == t_last) & (pdf["salt"].values == s_last)
+            cut = len(pdf) - int(tail.sum())
+            carry = pdf.iloc[cut:]
+            body = pdf.iloc[:cut]
+            if len(body):
+                yield _encode_runs(body)
+        if carry is not None and len(carry):
+            yield _encode_runs(carry)
+
+    return ranged.mapInPandas(encoder, schema=INDEX_CHUNK)
+
+
+def _encode_runs(body: pd.DataFrame) -> pd.DataFrame:
+    """Encode each contiguous (term, salt) run of a sorted frame."""
+    terms = body["term"].values
+    salts = body["salt"].values
+    docs_all = body["doc_id"].values.astype(np.int64)
+    tfs_all = body["tf"].values.astype(np.int64)
+    change = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(body)]))
+    out = {k: [] for k in INDEX_CHUNK.fieldNames()}
+    for s, e in zip(starts, ends):
+        docs = docs_all[s:e]
+        tfs = tfs_all[s:e]
+        last, sizes, mtf, payload = encode_posting_list(docs, tfs)
+        out["term"].append(terms[s])
+        out["salt"].append(int(salts[s]))
+        out["first_doc_id"].append(int(docs[0]))
+        out["df"].append(int(e - s))
+        out["last_doc_ids"].append(last.tolist())
+        out["block_bytes"].append([int(x) for x in sizes])
+        out["block_counts"].append([int(x) for x in full_block_counts(e - s)])
+        out["max_tf"].append([int(x) for x in mtf])
+        out["payload"].append(payload)
+    return pd.DataFrame(out)
+
+
+def merge_chunks(chunks: DataFrame) -> DataFrame:
+    """INDEX_CHUNK rows -> one INDEX row per term.
+
+    Light terms (the overwhelming majority) pass through 1:1.  Heavy
+    terms concatenate their chunks in salt order, patching each chunk's
+    first gap from absolute to delta-vs-previous-chunk — byte-identical
+    to whole-list encoding, and cheap: the group size is #chunks, not df.
+    """
+
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("salt")
+        if len(pdf) == 1:
+            r = pdf.iloc[0]
+            return pd.DataFrame(
+                {
+                    "term": [r["term"]],
+                    "df": [int(r["df"])],
+                    "last_doc_ids": [list(r["last_doc_ids"])],
+                    "block_bytes": [list(r["block_bytes"])],
+                    "block_counts": [list(r["block_counts"])],
+                    "max_tf": [list(r["max_tf"])],
+                    "payload": [bytes(r["payload"])],
+                }
+            )
+        payloads = []
+        last_ids: list[int] = []
+        sizes: list[int] = []
+        counts: list[int] = []
+        mtfs: list[int] = []
+        df = 0
+        prev_last = 0
+        for r in pdf.itertuples(index=False):
+            pay = bytes(r.payload)
+            first_doc = int(r.first_doc_id)
+            old_len = int(vb_byte_lengths(np.array([first_doc]))[0])
+            patched = vb_encode(np.array([first_doc - prev_last], dtype=np.int64))
+            pay = patched + pay[old_len:]
+            bb = [int(x) for x in r.block_bytes]
+            bb[0] += len(patched) - old_len
+            payloads.append(pay)
+            last_ids.extend(int(x) for x in r.last_doc_ids)
+            sizes.extend(bb)
+            counts.extend(int(x) for x in r.block_counts)
+            mtfs.extend(int(x) for x in r.max_tf)
+            df += int(r.df)
+            prev_last = int(r.last_doc_ids[-1])
+        return pd.DataFrame(
+            {
+                "term": [pdf["term"].iloc[0]],
+                "df": [df],
+                "last_doc_ids": [last_ids],
+                "block_bytes": [sizes],
+                "block_counts": [counts],
+                "max_tf": [mtfs],
+                "payload": [b"".join(payloads)],
+            }
+        )
+
+    return chunks.groupBy("term").applyInPandas(merge_fn, schema=INDEX)
+
+
+def build_index(
+    postings: DataFrame,
+    num_partitions: int | None = None,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    chunk_blocks: int = DEFAULT_CHUNK_BLOCKS,
+) -> DataFrame:
+    """postings -> merged INDEX (one row per term)."""
+    chunks = encode_chunks(
+        postings,
+        num_partitions=num_partitions,
+        salt_threshold=salt_threshold,
+        chunk_blocks=chunk_blocks,
+    )
+    return merge_chunks(chunks)

@@ -1,0 +1,216 @@
+"""Top-k BM25 query execution over the compressed index.
+
+Set-oriented re-expression of the reference's DAAT cursors
+(query.c:120-300): instead of a leapfrog nextGEQ loop, the matched
+index rows are block-prune-decoded in parallel, scored vectorized, and
+reduced with one small groupBy + TakeOrderedAndProject.
+
+Replicated reference semantics (SURVEY §5.5):
+- query tokenization: same alnum/lowercase rules, NO 15-char cap and
+  NO trailing-drop (main.c:392-407);
+- strict mode D5: lookup keys are the first 14 bytes of the term; all
+  stored terms sharing the key collide and the LAST in term order wins
+  (lexicon.c:56, query.c:248-259);
+- unknown terms silently dropped (single-found-term AND == OR);
+- duplicate query terms scored once per occurrence (weight = count);
+- conjunctive = docs containing ALL FOUND terms; disjunctive = union;
+- BM25 exactly as functions/bm25.py; ties broken toward the
+  earlier-seen (smaller) doc_id, matching the strict-> heap test
+  (query.c:92-108).
+
+Scale notes: the per-term index rows stay distributed (a stopword row
+at 10^12 docs is GBs — never collected); the docs join for doc_len
+shuffles on doc_id and benefits from bucketing the docs table by
+doc_id; stats is a broadcast scalar pair.  Conjunctive queries prune
+candidate blocks with the rarest term's doc range (the nextGEQ skip
+analog) before decoding.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from invertedindexbuilder_spark import BM25_B, BM25_K1, LEXICON_KEY_LEN
+from invertedindexbuilder_spark.functions.compress import decode_blocks_pruned
+
+_QUERY_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Query tokenization: alnum runs, lowercased, NO length cap / D0."""
+    return [t.lower() for t in _QUERY_TOKEN_RE.findall(query or "")]
+
+
+def _key_weights(terms: list[str], strict: bool) -> dict[str, int]:
+    """lookup-key -> number of query-term instances mapping to it."""
+    keys: dict[str, int] = {}
+    for t in terms:
+        k = t[:LEXICON_KEY_LEN] if strict else t
+        keys[k] = keys.get(k, 0) + 1
+    return keys
+
+
+def lookup_index_rows(
+    index: DataFrame, terms: list[str], strict: bool = True
+) -> DataFrame:
+    """Match query terms against the index (the Q2 lexicon lookup).
+
+    Returns index rows + (key, weight); at most one row per key (in
+    strict mode the byte-wise LAST matching term wins, replicating the
+    reference's overwrite-on-load collision policy).
+    """
+    spark = index.sparkSession
+    weights = _key_weights(terms, strict)
+    if not weights:
+        return index.limit(0).withColumn("key", F.lit("")).withColumn(
+            "weight", F.lit(0)
+        )
+    keys_df = spark.createDataFrame(
+        list(weights.items()), schema="key string, weight int"
+    )
+    if strict:
+        # range predicates (term between key and key+0x7f) reach the
+        # parquet scan; the prefix-equality join itself is a broadcast.
+        prune = None
+        for k in weights:
+            cond = F.col("term").between(F.lit(k), F.lit(k + "\x7f"))
+            prune = cond if prune is None else (prune | cond)
+        matched = index.filter(prune).join(
+            F.broadcast(keys_df),
+            F.substring(F.col("term"), 1, LEXICON_KEY_LEN) == F.col("key"),
+        )
+        w = Window.partitionBy("key").orderBy(F.col("term").desc())
+        matched = (
+            matched.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        matched = index.join(F.broadcast(keys_df), F.col("term") == F.col("key"))
+    return matched
+
+
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("df", T.LongType(), False),
+        T.StructField("weight", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.LongType(), False),
+    ]
+)
+
+
+def decode_matched_rows(
+    matched: DataFrame,
+    min_doc_id: int = 0,
+    max_doc_id: int | None = None,
+) -> DataFrame:
+    """Index rows -> exploded (key, df, weight, doc_id, tf) postings.
+
+    ``min_doc_id``/``max_doc_id`` bound the candidate doc range (from
+    the rarest conjunctive term): blocks wholly outside are never
+    decoded — the reference's nextGEQ skip, set-at-a-time.
+    """
+
+    def explode(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                docs, tfs = decode_blocks_pruned(
+                    bytes(r.payload),
+                    int(r.df),
+                    np.asarray(r.last_doc_ids, dtype=np.int64),
+                    np.asarray(r.block_bytes, dtype=np.int64),
+                    min_doc_id=min_doc_id,
+                    block_counts=np.asarray(r.block_counts, dtype=np.int64),
+                )
+                if max_doc_id is not None and docs.size:
+                    keep = docs <= max_doc_id
+                    docs, tfs = docs[keep], tfs[keep]
+                if min_doc_id and docs.size:
+                    keep = docs >= min_doc_id
+                    docs, tfs = docs[keep], tfs[keep]
+                if not docs.size:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "key": np.repeat(r.key, docs.size),
+                        "df": np.full(docs.size, int(r.df), dtype=np.int64),
+                        "weight": np.full(docs.size, int(r.weight), dtype=np.int32),
+                        "doc_id": docs,
+                        "tf": tfs,
+                    }
+                )
+
+    return matched.mapInPandas(explode, schema=_DECODED_SCHEMA)
+
+
+def bm25_expr(n_docs: int, davr: float):
+    """JVM-side (whole-stage-codegen) BM25 column over (tf, df, doc_len)."""
+    idf = F.log2((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = (
+        F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("doc_len") / F.lit(davr))
+        + F.col("tf")
+    )
+    return idf * F.lit(BM25_K1 + 1.0) * F.col("tf") / denom
+
+
+def topk_bm25(
+    spark: SparkSession,
+    index: DataFrame,
+    docs: DataFrame,
+    stats: dict,
+    query: str,
+    mode: str = "and",
+    k: int = 10,
+    strict: bool = True,
+    prune_collect_limit: int = 100_000,
+) -> DataFrame:
+    """One top-k query -> DataFrame(doc_id, score) ordered desc.
+
+    ``stats`` needs n_docs and sum_doc_len; ``docs`` needs
+    (doc_id, doc_len).
+    """
+    terms = tokenize_query(query)
+    matched = lookup_index_rows(index, terms, strict=strict)
+
+    n_docs = int(stats["n_docs"])
+    davr = float(stats["sum_doc_len"]) / float(n_docs - 1)  # reference N-1 quirk
+
+    min_doc, max_doc = 0, None
+    n_keys = None
+    if mode == "and":
+        # shortest-list-first (Q5): the rarest term bounds the candidate
+        # doc range; collect only its metadata when small enough.
+        meta = matched.select("key", "df", "last_doc_ids").collect()
+        n_keys = len(meta)
+        if n_keys == 0:
+            return spark.createDataFrame([], schema="doc_id long, score double")
+        rare = min(meta, key=lambda r: r["df"])
+        if rare["df"] <= prune_collect_limit:
+            max_doc = int(rare["last_doc_ids"][-1])
+
+    decoded = decode_matched_rows(matched, min_doc_id=min_doc, max_doc_id=max_doc)
+    scored_rows = decoded.join(docs.select("doc_id", "doc_len"), "doc_id")
+    contrib = scored_rows.withColumn(
+        "contrib", F.col("weight") * bm25_expr(n_docs, davr)
+    )
+    if mode == "and":
+        agg = contrib.groupBy("doc_id").agg(
+            F.sum("contrib").alias("score"),
+            F.count_distinct("key").alias("_nk"),
+        )
+        agg = agg.filter(F.col("_nk") == F.lit(n_keys)).drop("_nk")
+    elif mode == "or":
+        agg = contrib.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+    else:
+        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    # ties toward earlier-seen (smaller) doc_id = reference heap policy
+    return agg.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -48,12 +48,17 @@ POSTINGS = T.StructType(
     ]
 )
 
+# block_counts: postings per block.  For an unsalted list this is
+# [128, ..., 128, tail] (the reference's implicit layout, model.h:87);
+# after a skew-salted chunk merge interior blocks may be short, so the
+# layout must be self-describing.
 INDEX = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
         T.StructField("df", T.LongType(), False),
         T.StructField("last_doc_ids", T.ArrayType(T.LongType(), False), False),
         T.StructField("block_bytes", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("block_counts", T.ArrayType(T.IntegerType(), False), False),
         T.StructField("max_tf", T.ArrayType(T.IntegerType(), False), False),
         T.StructField("payload", T.BinaryType(), False),
     ]
@@ -68,6 +73,7 @@ INDEX_CHUNK = T.StructType(
         T.StructField("df", T.LongType(), False),
         T.StructField("last_doc_ids", T.ArrayType(T.LongType(), False), False),
         T.StructField("block_bytes", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("block_counts", T.ArrayType(T.IntegerType(), False), False),
         T.StructField("max_tf", T.ArrayType(T.IntegerType(), False), False),
         T.StructField("payload", T.BinaryType(), False),
     ]
