@@ -1,0 +1,240 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash.
+
+Everything here is pure DataFrame ops (JVM expressions + joins) so
+Catalyst plans/broadcasts them; the cross-engine ``hash32`` (md5-prefix)
+primitive keeps every step reproducible in ANSI SQL for the
+correctness oracle.
+
+Scale notes (100 TB):
+- exact dedup is one hash-groupBy — partial agg + AQE handle skew;
+- shingle self-join (``jaccard_pairs``) is quadratic in bucket size —
+  it is the VERIFY step; candidate generation at scale is LSH
+  (``minhash_lsh_pairs``): band buckets bound join fan-out, and the
+  band-bucket join shuffles only (band, bucket) keys, not full docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from invertedindexbuilder_spark.functions.text import hash32
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_duplicate_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """sha256-identical groups with >1 member."""
+    return (
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha256"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+
+def tokens_expr(text_col: str = "text") -> Column:
+    """Lowercased [a-z0-9]+ runs as an array column (no length cap —
+    dedup tokenization is independent of the index tokenizer)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda x: F.length(x) > 0,
+    )
+
+
+def shingles_expr(n: int = 3, text_col: str = "text") -> Column:
+    """Distinct word n-gram shingles per doc (space-joined)."""
+    toks = tokens_expr(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) exploded, distinct per doc."""
+    return docs.select(
+        "doc_id", F.explode(shingles_expr(n, text_col)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Doc pairs with shingle-set Jaccard >= threshold.
+
+    Brute force when ``candidates`` is None (self-join on shared
+    shingles — correct, quadratic per shingle bucket); given an LSH
+    candidate pair set (doc_a, doc_b), only verifies those.
+    """
+    sh = doc_shingles(docs, n, text_col).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_shingles", "size_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_shingles", "size_b"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+    return out
+
+
+# -------------------------------------------------------------- minhash
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, k, minhash): k-th minhash of the shingle set, where
+    hash_k(s) = hash32 of 'k:'+s — reproducible in any engine with md5."""
+    sh = doc_shingles(docs, n, text_col)
+    ks = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k")
+    return (
+        sh.select("doc_id", "shingle", ks)
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("k"), F.lit(":"), F.col("shingle"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+        .groupBy("doc_id", "k")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band bucket.
+
+    band bucket = md5 of the ordered minhash values in the band.  The
+    bucket join shuffles only (band, bucket) — the scale path for
+    near-dup candidate generation.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, text_col)
+    banded = (
+        sig.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            # sort by NUMERIC k via struct sort (string sort would order
+            # "10:" before "8:" and disagree with the SQL ORDER BY k)
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("k", "minhash"))),
+                        lambda s: F.concat_ws(":", s["k"], s["minhash"]),
+                    ),
+                )
+            ).alias("bucket")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact-Jaccard verify."""
+    cands = minhash_lsh_pairs(docs, num_hashes, bands, n, text_col)
+    return jaccard_pairs(docs, n, threshold, text_col, candidates=cands)
+
+
+# -------------------------------------------------------------- simhash
+
+
+def simhash(docs: DataFrame, nbits: int = 32, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): classic bit-vote fingerprint over DISTINCT
+    tokens, with hash32 token hashes so SQL engines reproduce it.
+    Bit b is set iff strictly more token hashes have bit b set than
+    clear."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_expr(text_col))).alias("tok")
+    ).withColumn("h", hash32(F.col("tok")))
+    bits = toks.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(nbits - 1))).alias("b"),
+    ).withColumn(
+        # shiftright() builtin needs a literal shift; SQL form takes a column
+        "vote",
+        F.expr("CAST((shiftright(h, b) % 2) * 2 - 1 AS BIGINT)"),
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+            .otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )

@@ -172,11 +172,15 @@ def topk_bm25(
     k: int = 10,
     strict: bool = True,
     prune_collect_limit: int = 100_000,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """One top-k query -> DataFrame(doc_id, score) ordered desc.
 
     ``stats`` needs n_docs and sum_doc_len; ``docs`` needs
-    (doc_id, doc_len).
+    (doc_id, doc_len).  ``round_digits`` rounds the score BEFORE the
+    top-k ordering (cross-engine-comparable results: ranking on raw
+    doubles could differ between float implementations at the k
+    boundary; ranking on rounded scores with a doc_id tiebreak cannot).
     """
     terms = tokenize_query(query)
     matched = lookup_index_rows(index, terms, strict=strict)
@@ -212,5 +216,7 @@ def topk_bm25(
         agg = contrib.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
     else:
         raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    if round_digits is not None:
+        agg = agg.withColumn("score", F.round(F.col("score"), round_digits))
     # ties toward earlier-seen (smaller) doc_id = reference heap policy
     return agg.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -1,0 +1,99 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products run as JVM ``zip_with``/``aggregate`` expressions in
+  double precision (no Python, no UDF).
+- ``ivf_topk``: bucketed variant — the 100 TB scale path.  Vectors are
+  assigned to deterministic sign-grid cells; probing a subset of cells
+  turns the scan into a partition-pruned fraction of the data.  With
+  ``probe_all=True`` it degenerates to exact search (used by the
+  correctness gate; recall/latency tradeoffs come from probing fewer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine to the vector with ``query_vec_id``
+    (itself excluded).  The 1-row query side is broadcast."""
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(
+                dot_expr(F.col(vec_col), F.col("_qvec"))
+                / (norm_expr(F.col(vec_col)) * norm_expr(F.col("_qvec"))),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def grid_cell_expr(vec_col: Column, dims: int = 4) -> Column:
+    """Deterministic IVF cell: sign bits of the first ``dims``
+    components (2^dims cells).  Pure expression — identical in SQL."""
+    cell = F.lit(0)
+    for d in range(dims):
+        bit = F.when(F.element_at(vec_col, d + 1) > 0, F.lit(1 << d)).otherwise(
+            F.lit(0)
+        )
+        cell = cell + bit
+    return cell
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    dims: int = 4,
+    probe_cells: list[int] | None = None,
+    probe_all: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN: restrict the scan to probed cells, then exact
+    rerank.  probe_all=True probes every cell (exact; oracle-checkable).
+    At scale the cell column is a partition key of the embeddings
+    table, so probing prunes file listings, not just rows."""
+    with_cell = embeddings.withColumn("_cell", grid_cell_expr(F.col(vec_col), dims))
+    if not probe_all:
+        if probe_cells is None:
+            qcell = with_cell.filter(F.col(id_col) == query_vec_id).select(
+                "_cell"
+            ).collect()[0][0]
+            probe_cells = [qcell]
+        with_cell = with_cell.filter(F.col("_cell").isin(probe_cells))
+    return cosine_topk(
+        with_cell.drop("_cell"), query_vec_id, k, id_col=id_col, vec_col=vec_col
+    )
