@@ -147,9 +147,12 @@ WHERE round(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) >= {tau}
 MINHASH_CTE = """
 mh AS (
   SELECT doc_id, ks.k,
-         min(CAST('0x' || SUBSTR(md5(ks.k || ':' || shingle), 1, 8) AS BIGINT))
-           AS minhash
-  FROM shing CROSS JOIN generate_series(0, 15) ks(k)
+         min(((1000003 * ks.k + 12345) * h + (40503 * ks.k + 17))
+             % 2147483647) AS minhash
+  FROM (SELECT doc_id,
+               CAST('0x' || SUBSTR(md5(shingle), 1, 8) AS BIGINT) AS h
+        FROM shing) s
+  CROSS JOIN generate_series(0, 15) ks(k)
   GROUP BY doc_id, ks.k
 ),
 banded AS (

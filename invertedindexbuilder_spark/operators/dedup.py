@@ -122,27 +122,32 @@ def jaccard_pairs(
 # -------------------------------------------------------------- minhash
 
 
+# affine family over one base hash: h_k(x) = (a_k*h(x) + b_k) mod p.
+# One md5 per shingle instead of one per (shingle, k) — 16x cheaper —
+# and plain BIGINT arithmetic both engines compute identically.
+# Bounds: a_k < 2^24, h < 2^32 => product < 2^56, no int64 overflow.
+MINHASH_P = 2147483647
+MINHASH_A = 1000003
+MINHASH_A0 = 12345
+MINHASH_B = 40503
+MINHASH_B0 = 17
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 16, n: int = 3, text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, k, minhash): k-th minhash of the shingle set, where
-    hash_k(s) = hash32 of 'k:'+s — reproducible in any engine with md5."""
-    sh = doc_shingles(docs, n, text_col)
+    """(doc_id, k, minhash): k-th minhash of the shingle set."""
+    sh = doc_shingles(docs, n, text_col).withColumn(
+        "h", hash32(F.col("shingle"))
+    )
     ks = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k")
+    a = F.lit(MINHASH_A) * F.col("k") + F.lit(MINHASH_A0)
+    b = F.lit(MINHASH_B) * F.col("k") + F.lit(MINHASH_B0)
     return (
-        sh.select("doc_id", "shingle", ks)
-        .withColumn(
-            "h",
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("k"), F.lit(":"), F.col("shingle"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long"),
-        )
+        sh.select("doc_id", "h", ks)
+        .withColumn("hk", (a * F.col("h") + b) % F.lit(MINHASH_P))
         .groupBy("doc_id", "k")
-        .agg(F.min("h").alias("minhash"))
+        .agg(F.min("hk").alias("minhash"))
     )
 
 

@@ -184,6 +184,10 @@ def topk_bm25(
     """
     terms = tokenize_query(query)
     matched = lookup_index_rows(index, terms, strict=strict)
+    if mode == "and":
+        # the metadata collect below and the decode both read matched;
+        # pin it (a handful of rows — payloads stay distributed)
+        matched = matched.persist()
 
     n_docs = int(stats["n_docs"])
     davr = float(stats["sum_doc_len"]) / float(n_docs - 1)  # reference N-1 quirk

@@ -118,6 +118,16 @@ def build(
         )
     docs = cat.read("docs")
 
+    # Guard tokenizer parallelism: a small docs table read back from
+    # parquet can coalesce to a handful of input splits, serializing
+    # the (CPU-bound) tokenize stage.  Cheap at small scale; at real
+    # scale the table has plenty of splits and this never triggers.
+    min_par = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    if docs.rdd.getNumPartitions() < min_par:
+        docs = docs.repartition(min_par)
+
     # ---- phase 2: postings (PARSE main output; optional checkpoint = the
     # reference's tmp/intermediate-N boundary) ----
     t0 = time.time()

@@ -31,6 +31,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local-mode split sizing: the defaults (128 MB splits / 64 MB
+        # AQE advisory) coalesce small-corpus stages down to 1-3 tasks
+        # and serialize the Python tokenize/encode work; 16 MB keeps all
+        # cores busy.  On a real cluster with TB inputs the defaults
+        # dominate anyway (these only LOWER granularity).
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -1,0 +1,82 @@
+"""spark-submit entry point: build the inverted index.
+
+    spark-submit --py-files engine.zip scripts/build_index.py \
+        --input /path/docs_src_parquet --out /path/index_root
+
+or with a deterministic synthetic corpus (FIXTURES.md):
+
+    ... build_index.py --synthetic 200000 --out /tmp/idx
+
+Prints one JSON line of build metrics (docs, wall seconds, docs/sec).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet dir with docs_src schema")
+    ap.add_argument("--synthetic", type=int, help="generate N synthetic docs")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--salt-threshold", type=int, default=1_000_000)
+    ap.add_argument("--chunk-blocks", type=int, default=4096)
+    ap.add_argument("--checkpoint-postings", action="store_true")
+    ap.add_argument("--cores", type=int, default=None,
+                    help="local[N] when not launched via spark-submit")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    if args.cores is not None:
+        from invertedindexbuilder_spark.session import get_spark
+
+        spark = get_spark(app_name="build-index", cores=args.cores,
+                          shuffle_partitions=max(args.cores, 8))
+    else:
+        spark = SparkSession.builder.appName("build-index").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from invertedindexbuilder_spark.plans.build import build
+    from invertedindexbuilder_spark.sources.docs_src import synthetic_docs_src
+
+    if args.synthetic:
+        src = synthetic_docs_src(spark, args.synthetic)
+    elif args.input:
+        src = spark.read.parquet(args.input)
+    else:
+        ap.error("need --input or --synthetic")
+
+    t0 = time.time()
+    manifest = build(
+        spark,
+        src,
+        args.out,
+        salt_threshold=args.salt_threshold,
+        chunk_blocks=args.chunk_blocks,
+        checkpoint_postings=args.checkpoint_postings,
+    )
+    wall = time.time() - t0
+    n_docs = manifest["phases"]["docs"]["rows"]
+    print(
+        json.dumps(
+            {
+                "docs": n_docs,
+                "terms": manifest["phases"]["index"]["terms"],
+                "postings": manifest["phases"]["index"]["postings"],
+                "payload_bytes": manifest["phases"]["index"]["payload_bytes"],
+                "wall_s": round(wall, 2),
+                "docs_per_sec": round(n_docs / wall, 1),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
