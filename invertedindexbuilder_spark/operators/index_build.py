@@ -50,6 +50,37 @@ from invertedindexbuilder_spark.schemas import INDEX, INDEX_CHUNK
 
 DEFAULT_SALT_THRESHOLD = 1_000_000  # postings per shuffle key before salting
 DEFAULT_CHUNK_BLOCKS = 4096  # blocks per salted chunk (~512k postings)
+MIN_SALT_THRESHOLD = 65_536  # below this a term fits one task comfortably
+
+
+def resolve_salting(
+    postings: DataFrame,
+    num_partitions: int,
+    salt_threshold: int | None,
+    chunk_blocks: int | None,
+):
+    """Adaptive skew policy: a term is 'heavy' when its posting count
+    exceeds ~half an ideal partition's share (it would dominate one
+    task); heavy terms are chunked into ~threshold-posting doc ranges.
+
+    One cheap partial-agg pass over postings yields both the total and
+    the heavy list — at 10^12 docs this is a 464-to-millions-row agg,
+    still tiny next to the postings themselves.
+    """
+    tdf = term_document_frequencies(postings)
+    if salt_threshold is None:
+        tot = tdf.agg(F.sum("df").alias("t")).collect()[0]["t"] or 0
+        salt_threshold = max(
+            MIN_SALT_THRESHOLD, int(tot) // max(num_partitions, 1) // 2
+        )
+    heavy = [
+        r["term"] for r in tdf.filter(F.col("df") > salt_threshold).collect()
+    ]
+    if chunk_blocks is None:
+        # chunk doc-span sized so a dense (every-doc) term yields
+        # ~threshold postings per chunk
+        chunk_blocks = max(64, salt_threshold // BLOCK_SIZE)
+    return salt_threshold, chunk_blocks, heavy
 
 
 def term_document_frequencies(postings: DataFrame) -> DataFrame:
@@ -210,14 +241,22 @@ def merge_chunks(chunks: DataFrame) -> DataFrame:
 def build_index(
     postings: DataFrame,
     num_partitions: int | None = None,
-    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
-    chunk_blocks: int = DEFAULT_CHUNK_BLOCKS,
+    salt_threshold: int | None = None,
+    chunk_blocks: int | None = None,
 ) -> DataFrame:
-    """postings -> merged INDEX (one row per term)."""
+    """postings -> merged INDEX (one row per term).  salt_threshold /
+    chunk_blocks default to the adaptive policy (resolve_salting)."""
+    spark = postings.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    salt_threshold, chunk_blocks, heavy = resolve_salting(
+        postings, num_partitions, salt_threshold, chunk_blocks
+    )
     chunks = encode_chunks(
         postings,
         num_partitions=num_partitions,
         salt_threshold=salt_threshold,
         chunk_blocks=chunk_blocks,
+        heavy=heavy,
     )
     return merge_chunks(chunks)

@@ -1,0 +1,253 @@
+"""Driver-local query session: <100 ms interactive top-k BM25 without
+launching a Spark job (the analog of the reference's -q session,
+query.c:29-300 — load once, then answer from memory + targeted reads).
+
+Two exact pruning mechanisms over the block metadata:
+
+- conjunctive: progressive intersection from the rarest list; for each
+  further list only blocks whose doc range intersects the current
+  candidate set are decoded (nextGEQ skipping, set-at-a-time —
+  inverted_list.c:36-77 semantics without the cursor);
+- disjunctive: BLOCK-MAX pruning (the north-star addition; the
+  reference has docid skips only).  Light lists are decoded fully and
+  seed a threshold theta = current k-th score; a heavy-list block is
+  decoded only if its score upper bound (from the stored per-block
+  max_tf and the corpus-wide min doc_len) could still lift a doc into
+  the top-k, or if it contains an existing candidate (candidates must
+  be scored EXACTLY, so their heavy postings are always fetched — this
+  completion loop is what keeps pruning lossless).
+
+Exactness (proved by tests/test_local_query.py against full-decode
+scoring): a doc never decoded is in no light list and only in skipped
+heavy blocks; for its best block, ub(block) + sum of other heavy
+full-list ubs < theta bounds its total score below the k-th result.
+"""
+
+from __future__ import annotations
+
+import bisect
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from invertedindexbuilder_spark import BM25_B, BM25_K1, LEXICON_KEY_LEN
+from invertedindexbuilder_spark.functions.bm25 import bm25, idf
+from invertedindexbuilder_spark.functions.compress import decode_posting_list
+from invertedindexbuilder_spark.operators.query_exec import tokenize_query
+
+HEAVY_QUERY_DF = 8192  # lists above this get block-max treatment in OR
+
+
+class LocalIndex:
+    """In-process view of the built tables (index/docs/stats parquet).
+
+    Loads the doc-length array and the per-term metadata eagerly (the
+    reference's 12 s query-prep step at MS MARCO scale); payloads are
+    memory-resident here — at cluster scale the same session reads
+    term rows on demand with a parquet term-range filter instead.
+    """
+
+    def __init__(self, index_root: str):
+        t = pq.read_table(f"{index_root}/index")
+        self.terms: list[str] = t.column("term").to_pylist()
+        order = np.argsort(self.terms)
+        self.terms = [self.terms[i] for i in order]
+        rows = {
+            name: t.column(name).to_pylist()
+            for name in ("df", "last_doc_ids", "block_bytes", "block_counts",
+                         "max_tf", "payload")
+        }
+        self.rows = [
+            {k: rows[k][i] for k in rows} | {"term": self.terms[j]}
+            for j, i in enumerate(order)
+        ]
+        d = pq.read_table(f"{index_root}/docs", columns=["doc_id", "doc_len"])
+        ids = np.asarray(d.column("doc_id"), dtype=np.int64)
+        lens = np.asarray(d.column("doc_len"), dtype=np.int64)
+        self.doc_len = np.zeros(int(ids.max()) + 1 if ids.size else 0, np.int64)
+        self.doc_len[ids] = lens
+        s = pq.read_table(f"{index_root}/stats").to_pylist()[0]
+        self.n_docs = int(s["n_docs"])
+        self.d_avr = float(s["sum_doc_len"]) / (self.n_docs - 1)
+        self.min_doc_len = int(lens.min()) if lens.size else 0
+        self.blocks_decoded = 0  # instrumentation
+
+    # -- lexicon lookup (Q2 + D5) --
+    def lookup(self, term: str, strict: bool = True) -> dict | None:
+        if strict:
+            key = term[:LEXICON_KEY_LEN]
+            lo = bisect.bisect_left(self.terms, key)
+            hi = bisect.bisect_right(self.terms, key + "\x7f")
+            match = [
+                i for i in range(lo, hi)
+                if self.terms[i][:LEXICON_KEY_LEN] == key
+            ]
+            return self.rows[match[-1]] if match else None  # last wins
+        lo = bisect.bisect_left(self.terms, term)
+        if lo < len(self.terms) and self.terms[lo] == term:
+            return self.rows[lo]
+        return None
+
+    # -- block-level decode helpers --
+    def _decode_blocks(self, row: dict, want: np.ndarray):
+        """Decode the selected block indices of one list ->
+        (doc_ids, tfs) concatenated."""
+        bb = np.asarray(row["block_bytes"], dtype=np.int64)
+        bc = np.asarray(row["block_counts"], dtype=np.int64)
+        last = np.asarray(row["last_doc_ids"], dtype=np.int64)
+        payload = bytes(row["payload"])
+        offs = np.concatenate(([0], np.cumsum(bb)))
+        out_d, out_t = [], []
+        for b in want.tolist():
+            base = int(last[b - 1]) if b > 0 else 0
+            d, t = decode_posting_list(
+                payload[offs[b] : offs[b + 1]],
+                int(bc[b]),
+                bb[b : b + 1],
+                prev_doc_id=base,
+                block_counts=bc[b : b + 1],
+            )
+            out_d.append(d)
+            out_t.append(t)
+        self.blocks_decoded += len(out_d)
+        if not out_d:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return np.concatenate(out_d), np.concatenate(out_t)
+
+    def decode_all(self, row: dict):
+        n_blocks = len(row["block_bytes"])
+        return self._decode_blocks(row, np.arange(n_blocks))
+
+    def blocks_overlapping(self, row: dict, cand: np.ndarray) -> np.ndarray:
+        """Indices of blocks whose doc range contains >= 1 candidate.
+        Block b covers (last[b-1], last[b]] — metadata only, no decode."""
+        last = np.asarray(row["last_doc_ids"], dtype=np.int64)
+        lo = np.concatenate(([-1], last[:-1]))  # exclusive lower bound
+        left = np.searchsorted(cand, lo + 1, side="left")
+        right = np.searchsorted(cand, last, side="right")
+        return np.flatnonzero(right > left)
+
+
+def _score(li: LocalIndex, tfs, df):
+    return lambda doc_ids, tfs_: bm25(
+        tfs_, df, li.doc_len[doc_ids], li.n_docs, li.d_avr
+    )
+
+
+def _block_ubs(li: LocalIndex, row: dict) -> np.ndarray:
+    """Per-block score upper bound from block-max tf.  Sound for
+    negative IDF (df > N/2): every contribution is negative, so 0."""
+    t_idf = float(idf(row["df"], li.n_docs))
+    if t_idf <= 0:
+        return np.zeros(len(row["max_tf"]))
+    mt = np.asarray(row["max_tf"], dtype=np.float64)
+    denom = BM25_K1 * ((1 - BM25_B) + BM25_B * li.min_doc_len / li.d_avr) + mt
+    return t_idf * (BM25_K1 + 1.0) * mt / denom
+
+
+def topk_local(
+    li: LocalIndex,
+    query: str,
+    mode: str = "and",
+    k: int = 10,
+    strict: bool = True,
+) -> list[tuple[int, float]]:
+    """Exact top-k (doc_id, score), descending; ties to smaller doc_id."""
+    terms = tokenize_query(query)
+    weights: dict[str, int] = {}
+    for t in terms:
+        key = t[:LEXICON_KEY_LEN] if strict else t
+        weights[key] = weights.get(key, 0) + 1
+    matched: list[tuple[dict, int]] = []
+    seen = set()
+    for key, w in weights.items():
+        row = li.lookup(key, strict=strict)
+        if row is not None and row["term"] not in seen:
+            seen.add(row["term"])
+            matched.append((row, w))
+    if not matched:
+        return []
+    matched.sort(key=lambda rw: rw[0]["df"])  # shortest-list-first (Q5)
+
+    if mode == "and":
+        return _conjunctive(li, matched, k)
+    if mode == "or":
+        return _disjunctive(li, matched, k)
+    raise ValueError(mode)
+
+
+def _topk_sorted(scores: dict[int, float], k: int) -> list[tuple[int, float]]:
+    return sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+
+def _conjunctive(li, matched, k):
+    # leapfrog, set-at-a-time: rarest list seeds the candidates; each
+    # further list is decoded only where its blocks overlap them
+    cand, _ = li.decode_all(matched[0][0])
+    for row, _w in matched[1:]:
+        if cand.size == 0:
+            return []
+        d, _t = li._decode_blocks(row, li.blocks_overlapping(row, cand))
+        cand = cand[np.isin(cand, d, assume_unique=True)]
+    if cand.size == 0:
+        return []
+    # exact scoring: per-term tf restricted to the final candidates
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for row, w in matched:
+        d, t = li._decode_blocks(row, li.blocks_overlapping(row, cand))
+        pos = np.searchsorted(d, cand)
+        assert (d[pos] == cand).all()
+        scores += w * bm25(t[pos], row["df"], li.doc_len[cand], li.n_docs, li.d_avr)
+    order = np.lexsort((cand, -scores))[:k]
+    return [(int(cand[i]), float(scores[i])) for i in order]
+
+
+def _disjunctive(li, matched, k):
+    scores: dict[int, float] = {}
+    light = [(r, w) for r, w in matched if r["df"] <= HEAVY_QUERY_DF]
+    heavy = [(r, w) for r, w in matched if r["df"] > HEAVY_QUERY_DF]
+
+    for row, w in light:
+        d, t = li.decode_all(row)
+        contrib = w * bm25(t, row["df"], li.doc_len[d], li.n_docs, li.d_avr)
+        for doc, c in zip(d.tolist(), contrib.tolist()):
+            scores[doc] = scores.get(doc, 0.0) + c
+
+    if not heavy:
+        return _topk_sorted(scores, k)
+
+    ubs = [_block_ubs(li, r) for r, _ in heavy]
+    full_ub = [float(u.max()) * w if u.size else 0.0 for (r, w), u in zip(heavy, ubs)]
+    decoded: list[set] = [set() for _ in heavy]
+
+    # candidate completion loop: candidates' heavy postings must all be
+    # fetched; newly admitted docs may require blocks of OTHER heavy
+    # lists, so iterate to a fixed point (<= len(heavy) rounds).
+    while True:
+        cand = np.array(sorted(scores), dtype=np.int64)
+        theta = (
+            sorted(scores.values(), reverse=True)[k - 1]
+            if len(scores) >= k
+            else -np.inf
+        )
+        grew = False
+        for i, (row, w) in enumerate(heavy):
+            others = sum(full_ub[: i]) + sum(full_ub[i + 1 :])
+            want_ub = np.flatnonzero(w * ubs[i] + others >= theta)
+            want_cand = li.blocks_overlapping(row, cand)
+            want = [
+                b
+                for b in np.union1d(want_ub, want_cand).tolist()
+                if b not in decoded[i]
+            ]
+            if not want:
+                continue
+            grew = True
+            decoded[i].update(want)
+            d, t = li._decode_blocks(row, np.array(want, dtype=np.int64))
+            contrib = w * bm25(t, row["df"], li.doc_len[d], li.n_docs, li.d_avr)
+            for doc, c in zip(d.tolist(), contrib.tolist()):
+                scores[doc] = scores.get(doc, 0.0) + c
+        if not grew:
+            break
+    return _topk_sorted(scores, k)

@@ -28,11 +28,9 @@ from pyspark.sql import functions as F
 from invertedindexbuilder_spark.catalog import Catalog
 from invertedindexbuilder_spark.operators.docids import assign_doc_ids
 from invertedindexbuilder_spark.operators.index_build import (
-    DEFAULT_CHUNK_BLOCKS,
-    DEFAULT_SALT_THRESHOLD,
     encode_chunks,
-    heavy_terms,
     merge_chunks,
+    resolve_salting,
 )
 from invertedindexbuilder_spark.operators.postings import build_postings
 from invertedindexbuilder_spark.sources.docs_src import with_url
@@ -97,24 +95,49 @@ def build(
     spark: SparkSession,
     docs_src: DataFrame,
     out_root: str,
-    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
-    chunk_blocks: int = DEFAULT_CHUNK_BLOCKS,
+    salt_threshold: int | None = None,
+    chunk_blocks: int | None = None,
     checkpoint_postings: bool = False,
     num_partitions: int | None = None,
 ) -> dict:
-    """Run (or resume) the full build.  Returns the manifest dict."""
+    """Run (or resume) the full build.  Returns the manifest dict.
+
+    Job-count discipline (it dominates wall time once stages scale):
+    the input is scanned exactly twice on a fresh build (range-partition
+    sampling + the shuffle itself), the fingerprint/row-count/doc-len
+    stats come from ONE agg over the written docs table, and the index
+    metrics + stats table reuse one agg over the written index.  The
+    input-side fingerprint scan only happens on RESUME, where it is the
+    point.
+    """
     cat = Catalog(spark, out_root)
     manifest = BuildManifest(out_root)
-    fp = _fingerprint(docs_src, ["repo", "path", "commit"])
+
+    def docs_fp(df: DataFrame):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("repo", "path", "commit")).alias("h"),
+            F.sum("doc_len").alias("sum_doc_len"),
+        ).collect()[0]
 
     # ---- phase 1: docs (PARSE side output F3 + doc ids) ----
     t0 = time.time()
-    if not (manifest.phase_done("docs", fp) and cat.exists("docs")):
-        docs = prepare_docs(docs_src)
-        cat.write(docs, "docs")
-        n_docs = cat.read("docs").count()
+    resume_docs = manifest.data["phases"].get("docs") and cat.exists("docs")
+    if resume_docs:
+        fp = _fingerprint(docs_src, ["repo", "path", "commit"])
+        resume_docs = manifest.phase_done("docs", fp)
+    if not resume_docs:
+        cat.write(prepare_docs(docs_src), "docs")
+        agg = docs_fp(cat.read("docs"))
+        fp = f"n={agg['n']},h={agg['h']}"
         manifest.record(
-            "docs", fp, {"rows": n_docs, "wall_s": round(time.time() - t0, 3)}
+            "docs",
+            fp,
+            {
+                "rows": agg["n"],
+                "sum_doc_len": int(agg["sum_doc_len"]),
+                "wall_s": round(time.time() - t0, 3),
+            },
         )
     docs = cat.read("docs")
 
@@ -149,16 +172,30 @@ def build(
     # ---- phase 3: index (SORT+MERGE shuffle + FINAL BUILD encode) ----
     t0 = time.time()
     if not (manifest.phase_done("index", fp) and cat.exists("index")):
-        heavy = heavy_terms(postings, salt_threshold)
+        if not checkpoint_postings:
+            # heavy-term detection AND the encode shuffle both consume
+            # postings; without the checkpoint table, pin it so the
+            # tokenize stage runs once, not twice.  (At 100 TB use
+            # checkpoint_postings=True — the materialized table is the
+            # reference's tmp/intermediate-N boundary — or sampled skew
+            # detection via heavy_terms on docs.sample().)
+            from pyspark.storagelevel import StorageLevel
+
+            postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+        eff_threshold, eff_chunk_blocks, heavy = resolve_salting(
+            postings, min_par, salt_threshold, chunk_blocks
+        )
         chunks = encode_chunks(
             postings,
             num_partitions=num_partitions,
-            salt_threshold=salt_threshold,
-            chunk_blocks=chunk_blocks,
+            salt_threshold=eff_threshold,
+            chunk_blocks=eff_chunk_blocks,
             heavy=heavy,
         )
         index = merge_chunks(chunks)
         cat.write(index, "index")
+        if not checkpoint_postings:
+            postings.unpersist()
         idx = cat.read("index")
         m = idx.agg(
             F.count("*").alias("terms"),
@@ -175,27 +212,37 @@ def build(
                 "payload_bytes": m["payload_bytes"],
                 "blocks": m["blocks"],
                 "salted_terms": len(heavy),
+                "salt_threshold": eff_threshold,
+                "chunk_blocks": eff_chunk_blocks,
                 "wall_s": round(time.time() - t0, 3),
             },
         )
 
     # ---- phase 4: stats (query-session constants, Q1) ----
+    # no new scans: every aggregate was already recorded by the docs
+    # and index phases (recompute only if an old-format manifest lacks
+    # them)
     t0 = time.time()
     if not (manifest.phase_done("stats", fp) and cat.exists("stats")):
-        idx = cat.read("index")
-        d = docs.agg(
-            F.count("*").alias("n_docs"), F.sum("doc_len").alias("sum_doc_len")
-        ).collect()[0]
-        i = idx.agg(
-            F.count("*").alias("n_terms"), F.sum("df").alias("n_postings")
-        ).collect()[0]
+        dph = manifest.data["phases"]["docs"]
+        iph = manifest.data["phases"]["index"]
+        if "sum_doc_len" not in dph:
+            d = docs.agg(
+                F.count("*").alias("rows"), F.sum("doc_len").alias("sum_doc_len")
+            ).collect()[0]
+            dph = {"rows": d["rows"], "sum_doc_len": d["sum_doc_len"]}
+        if "terms" not in iph:
+            i = cat.read("index").agg(
+                F.count("*").alias("terms"), F.sum("df").alias("postings")
+            ).collect()[0]
+            iph = {"terms": i["terms"], "postings": i["postings"]}
         stats_df = spark.createDataFrame(
             [
                 (
-                    int(d["n_docs"]),
-                    int(d["sum_doc_len"]),
-                    int(i["n_terms"]),
-                    int(i["n_postings"]),
+                    int(dph["rows"]),
+                    int(dph["sum_doc_len"]),
+                    int(iph["terms"]),
+                    int(iph["postings"]),
                 )
             ],
             schema="n_docs long, sum_doc_len long, n_terms long, n_postings long",

@@ -14,8 +14,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
@@ -23,14 +26,20 @@ def main() -> int:
     ap.add_argument("--input", help="parquet dir with docs_src schema")
     ap.add_argument("--synthetic", type=int, help="generate N synthetic docs")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--salt-threshold", type=int, default=1_000_000)
-    ap.add_argument("--chunk-blocks", type=int, default=4096)
+    ap.add_argument("--salt-threshold", type=int, default=None,
+                    help="postings per term before doc-range salting "
+                         "(default: adaptive)")
+    ap.add_argument("--chunk-blocks", type=int, default=None,
+                    help="blocks per salted chunk (default: adaptive)")
     ap.add_argument("--checkpoint-postings", action="store_true")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the pre-timing warm-up job")
     ap.add_argument("--cores", type=int, default=None,
                     help="local[N] when not launched via spark-submit")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     if args.cores is not None:
         from invertedindexbuilder_spark.session import get_spark
@@ -50,6 +59,20 @@ def main() -> int:
         src = spark.read.parquet(args.input)
     else:
         ap.error("need --input or --synthetic")
+
+    if not args.no_warmup:
+        # steady-state measurement: spin up executor python workers,
+        # Arrow serializers, and shuffle machinery before the clock
+        # starts (same warm-up at every parallelism level)
+        from invertedindexbuilder_spark.operators.postings import build_postings
+
+        cores = spark.sparkContext.defaultParallelism
+        warm = (
+            src.limit(cores * 16)
+            .repartition(cores)  # spawn a python worker on every slot
+            .withColumn("doc_id", F.monotonically_increasing_id())
+        )
+        build_postings(warm).groupBy("term").count().count()
 
     t0 = time.time()
     manifest = build(

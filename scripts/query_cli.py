@@ -10,8 +10,11 @@ line k, second line mode (0=AND, 1=OR), then one query per line.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
@@ -21,10 +24,57 @@ def main() -> int:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--no-strict", action="store_true",
                     help="disable the reference's 14-char key truncation")
+    ap.add_argument("--spark", action="store_true",
+                    help="distributed DataFrame execution instead of the "
+                         "driver-local session")
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("terms", nargs="*")
     args = ap.parse_args()
 
+    if args.spark:
+        run = _spark_runner(args)
+    else:
+        # default: driver-local session (reference -q analog, <100 ms)
+        import pyarrow.parquet as pq
+
+        from invertedindexbuilder_spark.operators.local_query import (
+            LocalIndex,
+            topk_local,
+        )
+
+        li = LocalIndex(args.index)
+        urls = {
+            r["doc_id"]: r["url"]
+            for r in pq.read_table(
+                f"{args.index}/docs", columns=["doc_id", "url"]
+            ).to_pylist()
+        }
+
+        def run(query: str, mode: str, k: int) -> None:
+            t0 = time.time()
+            res = topk_local(li, query, mode=mode, k=k,
+                             strict=not args.no_strict)
+            dt = (time.time() - t0) * 1000
+            for doc_id, score in res:
+                print(f"{score:.6f}\t{doc_id}\t{urls.get(doc_id, '')}")
+            print(f"# {len(res)} results in {dt:.0f} ms", file=sys.stderr)
+
+    if args.terms:
+        run(" ".join(args.terms), args.mode, args.k)
+        return 0
+
+    try:
+        k = int(input("top-k: ").strip())
+        mode = "or" if input("mode (0=AND,1=OR): ").strip() == "1" else "and"
+        for line in sys.stdin:
+            if line.strip():
+                run(line.strip(), mode, k)
+    except (EOFError, KeyboardInterrupt):
+        pass
+    return 0
+
+
+def _spark_runner(args):
     from invertedindexbuilder_spark.catalog import Catalog
     from invertedindexbuilder_spark.operators.query_exec import topk_bm25
     from invertedindexbuilder_spark.plans.build import load_stats
@@ -44,28 +94,15 @@ def main() -> int:
             spark, index, docs, stats, query,
             mode=mode, k=k, strict=not args.no_strict,
         )
-        out = res.join(docs.select("doc_id", "url"), "doc_id").orderBy(
+        rows = res.join(docs.select("doc_id", "url"), "doc_id").orderBy(
             res["score"].desc(), "doc_id"
-        )
-        rows = out.collect()
+        ).collect()
         dt = (time.time() - t0) * 1000
         for r in rows:
             print(f"{r['score']:.6f}\t{r['doc_id']}\t{r['url']}")
         print(f"# {len(rows)} results in {dt:.0f} ms", file=sys.stderr)
 
-    if args.terms:
-        run(" ".join(args.terms), args.mode, args.k)
-        return 0
-
-    try:
-        k = int(input("top-k: ").strip())
-        mode = "or" if input("mode (0=AND,1=OR): ").strip() == "1" else "and"
-        for line in sys.stdin:
-            if line.strip():
-                run(line.strip(), mode, k)
-    except (EOFError, KeyboardInterrupt):
-        pass
-    return 0
+    return run
 
 
 if __name__ == "__main__":
