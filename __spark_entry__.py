@@ -412,6 +412,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embeddings(spark, sf_dir), query_vec_id=0, k=10, probe_all=True
         )
 
+    def media_features(spark, sf_dir):
+        # deterministic synthetic media (no media column exists in the
+        # shared tables); rows-only check — binary decode plumbing is
+        # not ANSI-SQL-expressible (no oracle_sql entry on purpose)
+        from invertedindexbuilder_spark.operators.multimodal import (
+            extract_features,
+            synthetic_media,
+        )
+
+        return extract_features(synthetic_media(spark, 200), dim=8).select(
+            "media_id", "kind", "payload_sha256", "n_bytes"
+        )
+
     return {
         "postings": postings,
         "term_stats": term_stats,
@@ -433,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": simhash_q,
         "ann_cosine_topk": ann_cosine,
         "ann_ivf_topk": ann_ivf,
+        "media_features": media_features,
     }
 
 

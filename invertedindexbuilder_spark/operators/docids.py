@@ -27,6 +27,41 @@ from pyspark.storagelevel import StorageLevel
 SORT_KEYS = ["repo", "path", "commit"]
 
 
+def doc_id_map(
+    df: DataFrame,
+    sort_keys: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """(keys + doc_id) mapping table and the total row count.
+
+    Operates on the KEY COLUMNS ONLY — the wide content column never
+    enters the range shuffle or the persist (persisting the full corpus
+    was measured as the docs-phase scaling bottleneck).  The caller
+    joins the mapping back: broadcast when it fits, sort-merge
+    otherwise (``attach_doc_ids``).
+    """
+    sort_keys = sort_keys or SORT_KEYS
+    ids, total = _assign(df.select(*sort_keys), sort_keys, num_partitions)
+    return ids, total
+
+
+def attach_doc_ids(
+    df: DataFrame,
+    ids: DataFrame,
+    total: int,
+    sort_keys: list[str] | None = None,
+    broadcast_limit: int = 20_000_000,
+) -> DataFrame:
+    """Join the id map back onto the full table.  Broadcast while the
+    map fits executor memory (rows <= broadcast_limit); beyond that —
+    10^12-file scale — a sort-merge join on the unique key, which AQE
+    plans from the same expression."""
+    sort_keys = sort_keys or SORT_KEYS
+    if 0 <= total <= broadcast_limit:
+        ids = F.broadcast(ids)
+    return df.join(ids, on=sort_keys)
+
+
 def assign_doc_ids(
     df: DataFrame,
     sort_keys: list[str] | None = None,
@@ -34,11 +69,16 @@ def assign_doc_ids(
 ) -> DataFrame:
     """Add a ``doc_id`` column = global 0-based rank over ``sort_keys``.
 
-    The input is persisted (post-shuffle) because both the count pass
-    and the id pass read it; on a real cluster the shuffle files are
-    reused either way, the persist just pins the sorted form.
-    """
-    sort_keys = sort_keys or SORT_KEYS
+    NOTE: feeds the whole frame through the range shuffle + persist;
+    for wide tables prefer doc_id_map + attach_doc_ids."""
+    return _assign(df, sort_keys or SORT_KEYS, num_partitions)[0]
+
+
+def _assign(
+    df: DataFrame,
+    sort_keys: list[str],
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -77,4 +117,4 @@ def assign_doc_ids(
             yield pdf
 
     result = ranged.mapInPandas(add_ids, schema=out_schema)
-    return result
+    return result, acc

@@ -4,9 +4,12 @@ This single module replaces the reference's SORT (SRT1), MERGE (M1+M2)
 and FINAL BUILD (F1/F2) phases (sort_phase.c / merge_phase.c /
 final_build.c):
 
-- ONE range-repartition shuffle on (term, salt) + sort-within-partitions
+- ONE hash-repartition shuffle on (term, salt) + sort-within-partitions
   on (term, salt, doc_id).  A Spark sort-based shuffle IS a distributed
   run-generation + k-way-merge external sort, so SRT1/M1 need no code.
+  (Hash, not range: the encoder needs group contiguity per partition,
+  not global term order — and range sampling would re-execute the
+  tokenize lineage for boundary estimation.)
 - (term, doc_id) pairs are globally unique by construction (tf is
   finished inside the tokenize stage), so the reference's duplicate-key
   combine (M2) is vacuous here.
@@ -53,34 +56,85 @@ DEFAULT_CHUNK_BLOCKS = 4096  # blocks per salted chunk (~512k postings)
 MIN_SALT_THRESHOLD = 65_536  # below this a term fits one task comfortably
 
 
-def resolve_salting(
-    postings: DataFrame,
+def _resolve_from_tdf(
+    tdf: DataFrame,
+    count_col: str,
     num_partitions: int,
     salt_threshold: int | None,
     chunk_blocks: int | None,
 ):
-    """Adaptive skew policy: a term is 'heavy' when its posting count
-    exceeds ~half an ideal partition's share (it would dominate one
-    task); heavy terms are chunked into ~threshold-posting doc ranges.
-
-    One cheap partial-agg pass over postings yields both the total and
-    the heavy list — at 10^12 docs this is a 464-to-millions-row agg,
-    still tiny next to the postings themselves.
-    """
-    tdf = term_document_frequencies(postings)
     if salt_threshold is None:
-        tot = tdf.agg(F.sum("df").alias("t")).collect()[0]["t"] or 0
+        tot = tdf.agg(F.sum(count_col).alias("t")).collect()[0]["t"] or 0
+        # aim for ~16 balanced waves per partition, but CAP the
+        # threshold at 1M postings: at low parallelism an uncapped
+        # share-based threshold stops salting entirely and the head
+        # terms serialize the encode stage
         salt_threshold = max(
-            MIN_SALT_THRESHOLD, int(tot) // max(num_partitions, 1) // 2
+            MIN_SALT_THRESHOLD,
+            min(1_048_576, int(tot) // max(num_partitions, 1) // 16),
         )
     heavy = [
-        r["term"] for r in tdf.filter(F.col("df") > salt_threshold).collect()
+        r["term"]
+        for r in tdf.filter(F.col(count_col) > salt_threshold).select("term").collect()
     ]
     if chunk_blocks is None:
         # chunk doc-span sized so a dense (every-doc) term yields
         # ~threshold postings per chunk
         chunk_blocks = max(64, salt_threshold // BLOCK_SIZE)
     return salt_threshold, chunk_blocks, heavy
+
+
+def resolve_salting(
+    postings: DataFrame,
+    num_partitions: int,
+    salt_threshold: int | None,
+    chunk_blocks: int | None,
+):
+    """Adaptive skew policy from EXACT term counts: a term is 'heavy'
+    when its posting count exceeds its fair share of a partition; heavy
+    terms are chunked into ~threshold-posting doc ranges.  Costs one
+    partial-agg pass over postings — use the sampled variant when
+    postings are not already materialized."""
+    tdf = term_document_frequencies(postings)
+    return _resolve_from_tdf(
+        tdf, "df", num_partitions, salt_threshold, chunk_blocks
+    )
+
+
+def resolve_salting_sampled(
+    docs: DataFrame,
+    num_partitions: int,
+    salt_threshold: int | None,
+    chunk_blocks: int | None,
+    n_docs: int | None = None,
+    sample_docs: int = 20_000,
+    content_col: str = "content",
+):
+    """Skew policy from a docs SAMPLE (df estimates scaled to the full
+    corpus).  Salting is a performance hint, not a correctness input
+    (salted and unsalted builds are decoded-identical — tested), so
+    estimates suffice — and the full postings never need a second pass
+    or a persist, which measured as the index-phase bottleneck.
+
+    Uses ``limit(sample_docs)`` rather than ``sample(fraction)``: a
+    row-level sample still scans every input split, which at low
+    parallelism cost as much as a full tokenize pass.  The limit reads
+    a handful of splits; the resulting term-frequency estimate is
+    biased toward the corpus prefix, which only shifts WHICH terms get
+    salted, never what the index contains."""
+    from invertedindexbuilder_spark.operators.postings import build_postings
+
+    if n_docs is None:
+        n_docs = docs.count()
+    sample_docs = min(sample_docs, n_docs) or 1
+    scale = n_docs / sample_docs
+    sample = build_postings(docs.limit(sample_docs), content_col)
+    tdf = sample.groupBy("term").agg(
+        (F.count("*") * F.lit(float(scale))).alias("df_est")
+    )
+    return _resolve_from_tdf(
+        tdf, "df_est", num_partitions, salt_threshold, chunk_blocks
+    )
 
 
 def term_document_frequencies(postings: DataFrame) -> DataFrame:
@@ -125,7 +179,12 @@ def encode_chunks(
     else:
         salted = postings.withColumn("salt", F.lit(0).cast("int"))
 
-    ranged = salted.repartitionByRange(
+    # HASH repartition, not range: the encoder only needs each
+    # (term, salt) group contiguous within a partition, which hash +
+    # sortWithinPartitions provides.  repartitionByRange would sample
+    # its child for boundaries — re-executing the whole scan+tokenize
+    # lineage a second time (observed: a duplicate 64-task stage).
+    ranged = salted.repartition(
         num_partitions, F.col("term"), F.col("salt")
     ).sortWithinPartitions("term", "salt", "doc_id")
 

@@ -26,11 +26,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from invertedindexbuilder_spark.catalog import Catalog
-from invertedindexbuilder_spark.operators.docids import assign_doc_ids
+from invertedindexbuilder_spark.operators.docids import (
+    SORT_KEYS,
+    attach_doc_ids,
+    doc_id_map,
+)
 from invertedindexbuilder_spark.operators.index_build import (
     encode_chunks,
     merge_chunks,
     resolve_salting,
+    resolve_salting_sampled,
 )
 from invertedindexbuilder_spark.operators.postings import build_postings
 from invertedindexbuilder_spark.sources.docs_src import with_url
@@ -73,11 +78,17 @@ def _fingerprint(df: DataFrame, keys: list[str]) -> str:
 
 
 def prepare_docs(docs_src: DataFrame) -> DataFrame:
-    """docs_src -> docs: deterministic doc_id, synthesized url, the
-    reference's doc_len = len(url) + 1 + len(content) (size_of_doc,
-    main.c:274 + process_document), sha256(content) per-row invariant."""
-    with_ids = assign_doc_ids(docs_src)
-    return with_url(with_ids).select(
+    """docs_src -> docs METADATA table: deterministic doc_id,
+    synthesized url, the reference's doc_len = len(url) + 1 +
+    len(content) (size_of_doc, main.c:274), sha256(content) per-row
+    invariant.  Content is NOT copied — like the reference's doc_table
+    (model_support.c:388-425), the docs table is metadata; content
+    stays in the durable source table and is re-joined by doc_id when
+    needed.  The id map is built on the key columns only and joined
+    back (broadcast under attach_doc_ids' limit, SMJ beyond)."""
+    ids, total = doc_id_map(docs_src)
+    full = attach_doc_ids(docs_src, ids, total)
+    return with_url(full).select(
         "doc_id",
         "repo",
         "path",
@@ -87,7 +98,6 @@ def prepare_docs(docs_src: DataFrame) -> DataFrame:
         .cast("long")
         .alias("doc_len"),
         F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha256"),
-        "content",
     )
 
 
@@ -141,22 +151,31 @@ def build(
         )
     docs = cat.read("docs")
 
-    # Guard tokenizer parallelism: a small docs table read back from
-    # parquet can coalesce to a handful of input splits, serializing
-    # the (CPU-bound) tokenize stage.  Cheap at small scale; at real
-    # scale the table has plenty of splits and this never triggers.
+    # tokenizer input: content comes from the SOURCE table re-joined
+    # with the checkpointed id map (docs is metadata-only); broadcast
+    # join below the id-map limit, sort-merge beyond
+    n_docs = int(manifest.data["phases"]["docs"]["rows"])
+    docs_tok = attach_doc_ids(
+        docs_src.select(*SORT_KEYS, "content"),
+        docs.select(*SORT_KEYS, "doc_id"),
+        n_docs,
+    ).select("doc_id", "content")
+
+    # Guard tokenizer parallelism: a small input can coalesce to a
+    # handful of splits, serializing the CPU-bound tokenize stage.
+    # Cheap at small scale; never triggers on a real corpus.
     min_par = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    if docs.rdd.getNumPartitions() < min_par:
-        docs = docs.repartition(min_par)
+    if docs_tok.rdd.getNumPartitions() < min_par:
+        docs_tok = docs_tok.repartition(min_par)
 
     # ---- phase 2: postings (PARSE main output; optional checkpoint = the
     # reference's tmp/intermediate-N boundary) ----
     t0 = time.time()
     if checkpoint_postings:
         if not (manifest.phase_done("postings", fp) and cat.exists("postings")):
-            cat.write(build_postings(docs), "postings")
+            cat.write(build_postings(docs_tok), "postings")
             manifest.record(
                 "postings",
                 fp,
@@ -167,24 +186,23 @@ def build(
             )
         postings = cat.read("postings")
     else:
-        postings = build_postings(docs)
+        postings = build_postings(docs_tok)
 
     # ---- phase 3: index (SORT+MERGE shuffle + FINAL BUILD encode) ----
     t0 = time.time()
     if not (manifest.phase_done("index", fp) and cat.exists("index")):
-        if not checkpoint_postings:
-            # heavy-term detection AND the encode shuffle both consume
-            # postings; without the checkpoint table, pin it so the
-            # tokenize stage runs once, not twice.  (At 100 TB use
-            # checkpoint_postings=True — the materialized table is the
-            # reference's tmp/intermediate-N boundary — or sampled skew
-            # detection via heavy_terms on docs.sample().)
-            from pyspark.storagelevel import StorageLevel
-
-            postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-        eff_threshold, eff_chunk_blocks, heavy = resolve_salting(
-            postings, min_par, salt_threshold, chunk_blocks
-        )
+        if checkpoint_postings:
+            # postings are materialized: exact skew detection is cheap
+            eff_threshold, eff_chunk_blocks, heavy = resolve_salting(
+                postings, min_par, salt_threshold, chunk_blocks
+            )
+        else:
+            # sampled detection: salting is a performance hint, and a
+            # 5% estimate avoids both a second tokenize pass and a
+            # postings persist (each measured as a scaling bottleneck)
+            eff_threshold, eff_chunk_blocks, heavy = resolve_salting_sampled(
+                docs_tok, min_par, salt_threshold, chunk_blocks, n_docs=n_docs
+            )
         chunks = encode_chunks(
             postings,
             num_partitions=num_partitions,
@@ -194,8 +212,6 @@ def build(
         )
         index = merge_chunks(chunks)
         cat.write(index, "index")
-        if not checkpoint_postings:
-            postings.unpersist()
         idx = cat.read("index")
         m = idx.agg(
             F.count("*").alias("terms"),

@@ -43,7 +43,9 @@ SPECIALS = [
 ]
 
 
-def _gen_rows(indices: np.ndarray, seed: int) -> pd.DataFrame:
+def _gen_rows(
+    indices: np.ndarray, seed: int, token_range: tuple[int, int] = (5, 401)
+) -> pd.DataFrame:
     rows = {k: [] for k in ["repo", "path", "commit", "lang", "content"]}
     for i in indices.tolist():
         rng = np.random.default_rng((seed, i))
@@ -53,16 +55,18 @@ def _gen_rows(indices: np.ndarray, seed: int) -> pd.DataFrame:
         rows["path"].append(f"src/dir{i % 7}/file{i:05d}.{lang}")
         rows["commit"].append(f"{(i * 2654435761) % (1 << 160):040x}")
         rows["lang"].append(lang)
-        rows["content"].append(_gen_content(rng, i))
+        rows["content"].append(_gen_content(rng, i, token_range))
     return pd.DataFrame(rows)
 
 
-def _gen_content(rng: np.random.Generator, i: int) -> str:
+def _gen_content(
+    rng: np.random.Generator, i: int, token_range: tuple[int, int] = (5, 401)
+) -> str:
     if i % 97 == 13:
         return ""  # empty doc: still gets a doc_id, counts in N/d_avr
     if i % 97 == 29:
         return "."
-    n_tokens = int(rng.integers(5, 401))
+    n_tokens = int(rng.integers(token_range[0], token_range[1]))
     parts: list[str] = []
     if rng.random() < 0.95:
         parts.append("common")  # stopword-like: df >> 128 => multi-block
@@ -90,15 +94,21 @@ def _gen_content(rng: np.random.Generator, i: int) -> str:
 
 
 def synthetic_docs_src(
-    spark: SparkSession, n_docs: int, seed: int = 42, num_partitions: int | None = None
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    num_partitions: int | None = None,
+    token_range: tuple[int, int] = (5, 401),
 ) -> DataFrame:
+    """token_range (5, 401) is the FIXTURES.md contract (oracle corpora
+    must keep it); bench corpora may pass a source-file-sized range."""
     if num_partitions is None:
         num_partitions = max(1, min(64, n_docs // 2000 + 1))
 
     def gen(batches):
         for pdf in batches:
             if len(pdf):
-                yield _gen_rows(pdf["id"].values, seed)
+                yield _gen_rows(pdf["id"].values, seed, token_range)
 
     return (
         spark.range(0, n_docs, numPartitions=num_partitions)
