@@ -104,6 +104,30 @@ def test_salted_build_identical_decoded(spark, tmp_path, oracle):
     assert got == want
 
 
+def test_jvm_and_pandas_tokenizer_parity(spark):
+    """The selectable JVM tokenizer (explode + partial-agg tf) must
+    produce exactly the pandas path's postings on the adversarial
+    fixture corpus (D0, 15/16-char, unicode, empty docs)."""
+    from invertedindexbuilder_spark.operators.docids import assign_doc_ids
+    from invertedindexbuilder_spark.operators.postings import (
+        build_postings,
+        build_postings_jvm,
+    )
+
+    docs = assign_doc_ids(synthetic_docs_src(spark, 300)).select(
+        "doc_id", "content"
+    )
+    a = [
+        (r["term"], r["doc_id"], r["tf"])
+        for r in build_postings(docs).orderBy("term", "doc_id").collect()
+    ]
+    b = [
+        (r["term"], r["doc_id"], r["tf"])
+        for r in build_postings_jvm(docs).orderBy("term", "doc_id").collect()
+    ]
+    assert a == b and len(a) > 0
+
+
 def test_resume_skips_completed_phases(spark, tmp_path):
     out = str(tmp_path / "resume")
     src = synthetic_docs_src(spark, 200)
