@@ -128,7 +128,10 @@ def resolve_salting_sampled(
         n_docs = docs.count()
     sample_docs = min(sample_docs, n_docs) or 1
     scale = n_docs / sample_docs
-    sample = build_postings(docs.limit(sample_docs), content_col)
+    # limit() funnels rows into one task — spread the sample tokenize
+    # back out or it costs ~10 s of single-core time
+    sampled = docs.limit(sample_docs).repartition(min(16, max(num_partitions, 1)))
+    sample = build_postings(sampled, content_col)
     tdf = sample.groupBy("term").agg(
         (F.count("*") * F.lit(float(scale))).alias("df_est")
     )

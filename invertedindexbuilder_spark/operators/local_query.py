@@ -8,8 +8,9 @@ Two exact pruning mechanisms over the block metadata:
   further list only blocks whose doc range intersects the current
   candidate set are decoded (nextGEQ skipping, set-at-a-time —
   inverted_list.c:36-77 semantics without the cursor);
-- disjunctive: BLOCK-MAX pruning (the north-star addition; the
-  reference has docid skips only).  Light lists are decoded fully and
+- disjunctive: BLOCK-MAX pruning in the spirit of Block-Max WAND
+  (Ding & Suel, SIGIR 2011) — the north-star addition; the reference
+  has docid skips only.  Light lists are decoded fully and
   seed a threshold theta = current k-th score; a heavy-list block is
   decoded only if its score upper bound (from the stored per-block
   max_tf and the corpus-wide min doc_len) could still lift a doc into

@@ -37,7 +37,10 @@ from invertedindexbuilder_spark.operators.index_build import (
     resolve_salting,
     resolve_salting_sampled,
 )
-from invertedindexbuilder_spark.operators.postings import build_postings
+from invertedindexbuilder_spark.operators.postings import (
+    build_postings,
+    build_postings_jvm,
+)
 from invertedindexbuilder_spark.sources.docs_src import with_url
 
 
@@ -86,8 +89,13 @@ def prepare_docs(docs_src: DataFrame) -> DataFrame:
     stays in the durable source table and is re-joined by doc_id when
     needed.  The id map is built on the key columns only and joined
     back (broadcast under attach_doc_ids' limit, SMJ beyond)."""
-    ids, total = doc_id_map(docs_src)
-    full = attach_doc_ids(docs_src, ids, total)
+    # S3 document filter (main.c:271-272): the reference skips docs
+    # whose URL doesn't start with 'h' BEFORE assigning ids.  Our
+    # synthesized urls always do (FIXTURES.md), so this is a no-op
+    # here, but the operator is in the plan for parity.
+    filtered = with_url(docs_src).filter(F.col("url").startswith("h")).drop("url")
+    ids, total = doc_id_map(filtered)
+    full = attach_doc_ids(filtered, ids, total)
     return with_url(full).select(
         "doc_id",
         "repo",
@@ -109,6 +117,7 @@ def build(
     chunk_blocks: int | None = None,
     checkpoint_postings: bool = False,
     num_partitions: int | None = None,
+    tokenizer: str = "jvm",
 ) -> dict:
     """Run (or resume) the full build.  Returns the manifest dict.
 
@@ -170,12 +179,14 @@ def build(
     if docs_tok.rdd.getNumPartitions() < min_par:
         docs_tok = docs_tok.repartition(min_par)
 
+    tokenize = build_postings_jvm if tokenizer == "jvm" else build_postings
+
     # ---- phase 2: postings (PARSE main output; optional checkpoint = the
     # reference's tmp/intermediate-N boundary) ----
     t0 = time.time()
     if checkpoint_postings:
         if not (manifest.phase_done("postings", fp) and cat.exists("postings")):
-            cat.write(build_postings(docs_tok), "postings")
+            cat.write(tokenize(docs_tok), "postings")
             manifest.record(
                 "postings",
                 fp,
@@ -186,7 +197,7 @@ def build(
             )
         postings = cat.read("postings")
     else:
-        postings = build_postings(docs_tok)
+        postings = tokenize(docs_tok)
 
     # ---- phase 3: index (SORT+MERGE shuffle + FINAL BUILD encode) ----
     t0 = time.time()

@@ -50,7 +50,7 @@ def gen_corpus(n_docs: int, path: str, token_range=(200, 1601)) -> None:
     spark.stop()
 
 
-def run_build(cores: int, corpus: str, zpath: str) -> dict:
+def run_build(cores: int, corpus: str, zpath: str, tokenizer: str = "pandas") -> dict:
     out = os.path.join(WORK, f"idx_{cores}")
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
@@ -74,6 +74,7 @@ def run_build(cores: int, corpus: str, zpath: str) -> dict:
             os.path.join(REPO, "scripts", "build_index.py"),
             "--input", corpus,
             "--out", out,
+            "--tokenizer", tokenizer,
         ],
         capture_output=True,
         text=True,
@@ -96,6 +97,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=120_000)
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--tokenizer", choices=["pandas", "jvm"], default="jvm")
+    ap.add_argument("--no-md", action="store_true",
+                    help="print JSON only, don't rewrite BENCH/BASELINE.md")
     ap.add_argument("--n", type=int, default=4,
                     help="small parallelism (large = 4x this). Default "
                          "4 vs 16: this VM's aggregate clock throttles "
@@ -111,16 +115,19 @@ def main() -> int:
         gen_corpus(args.docs, corpus)
     zpath = make_zip()
 
-    r8 = run_build(args.n, corpus, zpath)
-    r32 = run_build(args.n * 4, corpus, zpath)
+    r8 = run_build(args.n, corpus, zpath, args.tokenizer)
+    r32 = run_build(args.n * 4, corpus, zpath, args.tokenizer)
     eff = r32["docs_per_sec"] / (4.0 * r8["docs_per_sec"])
     result = {
         "docs": args.docs,
+        "tokenizer": args.tokenizer,
         "local8": r8,
         "local32": r32,
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(result))
+    if args.no_md:
+        return 0
 
     n, n4 = args.n, args.n * 4
     md = f"""# BENCH/BASELINE — measured numbers (this engine)

@@ -27,6 +27,10 @@ def main() -> int:
     ap.add_argument("--spark", action="store_true",
                     help="distributed DataFrame execution instead of the "
                          "driver-local session")
+    ap.add_argument("--snippets-from", metavar="DOCS_SRC_PARQUET",
+                    help="also print a best-window snippet per result, "
+                         "re-reading content from the source table "
+                         "(reference Q10, cleanly re-specified)")
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("terms", nargs="*")
     args = ap.parse_args()
@@ -50,6 +54,18 @@ def main() -> int:
             ).to_pylist()
         }
 
+        if args.snippets_from:
+            import duckdb
+
+            con = duckdb.connect()
+            key_by_id = {
+                r["doc_id"]: (r["repo"], r["path"], r["commit"])
+                for r in pq.read_table(
+                    f"{args.index}/docs",
+                    columns=["doc_id", "repo", "path", "commit"],
+                ).to_pylist()
+            }
+
         def run(query: str, mode: str, k: int) -> None:
             t0 = time.time()
             res = topk_local(li, query, mode=mode, k=k,
@@ -57,6 +73,23 @@ def main() -> int:
             dt = (time.time() - t0) * 1000
             for doc_id, score in res:
                 print(f"{score:.6f}\t{doc_id}\t{urls.get(doc_id, '')}")
+                if args.snippets_from and doc_id in key_by_id:
+                    from invertedindexbuilder_spark.operators.query_exec import (
+                        tokenize_query,
+                    )
+                    from invertedindexbuilder_spark.operators.snippets import (
+                        best_window,
+                    )
+
+                    rk, pk, ck = key_by_id[doc_id]
+                    row = con.execute(
+                        "SELECT content FROM read_parquet(?) WHERE "
+                        "repo = ? AND path = ? AND commit = ?",
+                        [f"{args.snippets_from}/*.parquet", rk, pk, ck],
+                    ).fetchone()
+                    if row:
+                        s, snip = best_window(row[0], tokenize_query(query))
+                        print(f"    [{s}] {snip[:200]}")
             print(f"# {len(res)} results in {dt:.0f} ms", file=sys.stderr)
 
     if args.terms:
