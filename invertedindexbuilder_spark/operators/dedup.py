@@ -84,8 +84,23 @@ def jaccard_pairs(
     """
     sh = doc_shingles(docs, n, text_col).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sh_a, sh_b = sh, sh
+    if candidates is not None:
+        # verify-only mode: restrict the shingle join to candidate docs
+        # BEFORE pair generation — the unrestricted self-join is
+        # quadratic per shared shingle and would dominate the pipeline
+        sh_a = sh.join(
+            candidates.select(F.col("doc_a").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        sh_b = sh.join(
+            candidates.select(F.col("doc_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+    a = sh_a.alias("a")
+    b = sh_b.alias("b")
     inter = (
         a.join(b, F.col("a.shingle") == F.col("b.shingle"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
