@@ -412,6 +412,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embeddings(spark, sf_dir), query_vec_id=0, k=10, probe_all=True
         )
 
+    def fingerprint_winnow(spark, sf_dir):
+        from invertedindexbuilder_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+
+        return winnow_fingerprints(
+            _documents(spark, sf_dir).select("doc_id", "text"), k=5, window=4
+        )
+
+    def lineitem_rollup(spark, sf_dir):
+        # grouping-sets primitive (reference has none, SURVEY §2.2)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                .alias("sum_disc_price"),
+            )
+            .select(
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                "n_rows",
+                "sum_qty",
+                "sum_disc_price",
+            )
+        )
+
     def media_features(spark, sf_dir):
         # deterministic synthetic media (no media column exists in the
         # shared tables); rows-only check — binary decode plumbing is
@@ -446,6 +475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": simhash_q,
         "ann_cosine_topk": ann_cosine,
         "ann_ivf_topk": ann_ivf,
+        "fingerprint_winnow": fingerprint_winnow,
+        "lineitem_rollup": lineitem_rollup,
         "media_features": media_features,
     }
 
@@ -570,6 +601,29 @@ def oracle_sql() -> dict[str, str]:
             " * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine "
             "FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0 "
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        "fingerprint_winnow": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents), "
+            "g0 AS (SELECT doc_id, greatest(len(l) - 4, 0) AS n_grams, "
+            "unnest(list_transform(generate_series(1, greatest(len(l) - 4, 0)), "
+            "i -> {'pos': i, 'gram': l[i] || ' ' || l[i+1] || ' ' || l[i+2] "
+            "|| ' ' || l[i+3] || ' ' || l[i+4]})) AS u FROM t), "
+            "g AS (SELECT doc_id, n_grams, u.pos AS pos, "
+            "CAST('0x' || SUBSTR(md5(u.gram), 1, 8) AS BIGINT) AS h FROM g0), "
+            "w AS (SELECT doc_id, pos, n_grams, min(h) OVER ("
+            "PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin FROM g) "
+            # 1-based pos: last full window starts at n_grams - 3
+            "SELECT DISTINCT doc_id, wmin AS fingerprint FROM w "
+            "WHERE pos <= n_grams - 3"
+        ),
+        "lineitem_rollup": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS linestatus, "
+            "count(*)::BIGINT AS n_rows, round(sum(l_quantity), 4) AS sum_qty, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
         "ann_ivf_topk": (
             "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings "

@@ -227,6 +227,47 @@ def minhash_dedup(
     return jaccard_pairs(docs, n, threshold, text_col, candidates=cands)
 
 
+# ------------------------------------------------------------ winnowing
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 5, window: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 shape): hash every k-gram of the token stream, slide a
+    w-window over the hash sequence, keep each window's MINIMUM hash,
+    emit the distinct set per doc.
+
+    Pure DataFrame ops: posexplode for positions, a row-frame window
+    min for the sliding minimum — the window-function primitive the
+    reference lacks (SURVEY §2.2), exercised here on a real operator.
+    """
+    from pyspark.sql import Window as W
+
+    toks = tokens_expr(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    g = docs.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    hashed = g.withColumn("h", hash32(F.col("gram")))
+    w_min = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        hashed.withColumn("wmin", F.min("h").over(w_min))
+        # windows extending past the end of the doc are partial; the
+        # last FULL window starts at n_grams - window
+        .withColumn(
+            "n_grams", F.count("*").over(W.partitionBy("doc_id"))
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - window)
+        .select("doc_id", F.col("wmin").alias("fingerprint"))
+        .distinct()
+    )
+
+
 # -------------------------------------------------------------- simhash
 
 
