@@ -151,18 +151,29 @@ MINHASH_B0 = 17
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 16, n: int = 3, text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, k, minhash): k-th minhash of the shingle set."""
+    """(doc_id, k, minhash): k-th minhash of the shingle set.
+
+    All K minima are computed as K agg expressions over ONE pass of the
+    shingle rows (no K-fold explode — 16x less shuffle volume), then
+    unpivoted with ``stack``."""
     sh = doc_shingles(docs, n, text_col).withColumn(
         "h", hash32(F.col("shingle"))
     )
-    ks = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k")
-    a = F.lit(MINHASH_A) * F.col("k") + F.lit(MINHASH_A0)
-    b = F.lit(MINHASH_B) * F.col("k") + F.lit(MINHASH_B0)
-    return (
-        sh.select("doc_id", "h", ks)
-        .withColumn("hk", (a * F.col("h") + b) % F.lit(MINHASH_P))
-        .groupBy("doc_id", "k")
-        .agg(F.min("hk").alias("minhash"))
+    aggs = [
+        F.min(
+            (
+                F.lit(MINHASH_A * k + MINHASH_A0) * F.col("h")
+                + F.lit(MINHASH_B * k + MINHASH_B0)
+            )
+            % F.lit(MINHASH_P)
+        ).alias(f"m{k}")
+        for k in range(num_hashes)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(f"{k}, m{k}" for k in range(num_hashes))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({num_hashes}, {stack_args}) as (k, minhash)"),
     )
 
 
