@@ -98,7 +98,17 @@ def _bm25_sql(qterms: list[tuple[str, int]], mode: str, k: int) -> str:
 # (doc_id+100000) and mutated near-copies (doc_id+200000) of the first
 # 20 docs — the shared tables contain no natural duplicates, so the
 # dedup operators need planted ones (identical in Spark and SQL).
+# The planted SHORT docs (0/1/2/3 tokens) exercise the sub-n-gram guard
+# (Spark's unguarded sequence(1,0) is descending and crashes; DuckDB's
+# generate_series(1,0) is empty — both must agree on the empty set).
 DEDUP_SUFFIX = " mutated suffix tokens appended here"
+SHORT_DOCS = [
+    (300000, ""),
+    (300001, "one"),
+    (300002, "only two"),
+    (300003, "three short tokens"),
+]
+_SHORT_VALUES = ", ".join(f"({i}, '{t}')" for i, t in SHORT_DOCS)
 DEDUP_CORPUS_SQL = f"""
 dd AS (
   SELECT doc_id, text FROM documents
@@ -106,6 +116,8 @@ dd AS (
   SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20
   UNION ALL
   SELECT doc_id + 200000, text || '{DEDUP_SUFFIX}' FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT * FROM (VALUES {_SHORT_VALUES}) sd(doc_id, text)
 )
 """
 
@@ -213,6 +225,15 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+# The index_meta oracle derives n_blocks/payload geometry from the
+# UNSALTED whole-list layout (ceil(df/128) full blocks); skew salting
+# produces ragged-but-self-describing tail blocks that would legitimately
+# differ.  Gate builds therefore pin salting OFF; the salted/chunked
+# layout is gate-covered separately via the bm25_*_chunked entries,
+# whose results are layout-independent.
+UNSALTED = 1 << 62
+
+
 def _built(spark: SparkSession, sf_dir: str) -> dict:
     """Build (once per sf_dir) the index/docs/stats over documents."""
     if sf_dir in _INDEX_CACHE:
@@ -225,7 +246,7 @@ def _built(spark: SparkSession, sf_dir: str) -> dict:
 
     docs = docs_from_documents_table(_documents(spark, sf_dir)).cache()
     postings = build_postings(docs).cache()
-    index = build_index(postings).cache()
+    index = build_index(postings, salt_threshold=UNSALTED).cache()
     agg = docs.agg(
         F.count("*").alias("n"), F.sum("doc_len").alias("sdl")
     ).collect()[0]
@@ -239,6 +260,23 @@ def _built(spark: SparkSession, sf_dir: str) -> dict:
     return env
 
 
+def _chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked SERVING index over the same corpus, with an artificially
+    LOW salt threshold so common terms really do span several doc-range
+    chunks — the gate then exercises multi-chunk distributed decode
+    (the 100 TB stopword path), not just the 1-chunk degenerate case."""
+    env = _built(spark, sf_dir)
+    if "chunks" not in env:
+        from invertedindexbuilder_spark.operators.index_build import (
+            encode_chunks,
+        )
+
+        env["chunks"] = encode_chunks(
+            env["postings"], salt_threshold=64, chunk_blocks=1
+        ).cache()
+    return env["chunks"]
+
+
 def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _documents(spark, sf_dir).select("doc_id", "text")
     head = d.filter(F.col("doc_id") < 20)
@@ -250,7 +288,31 @@ def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.col("text"), F.lit(DEDUP_SUFFIX)).alias("text"),
             )
         )
+        .unionAll(
+            spark.createDataFrame(SHORT_DOCS, "doc_id long, text string")
+        )
     )
+
+
+# Near-dup embedding corpus: embeddings (as double) plus exact copies
+# (vec_id+100000) and sign-preserving perturbed copies (vec_id+200000,
+# first component doubled) of the first 10 vectors — the shared table
+# has no natural near-duplicates.
+def _embed_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    head = e.filter(F.col("vec_id") < 10)
+    exact = head.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    pert = head.select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) * F.lit(2.0)),
+            F.slice(F.col("embedding"), F.lit(2), F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    return e.unionAll(exact).unionAll(pert)
 
 
 def _bm25_query(
@@ -263,6 +325,29 @@ def _bm25_query(
     out = topk_bm25(
         spark,
         env["index"],
+        env["docs"],
+        env["stats"],
+        query,
+        mode=mode,
+        k=k,
+        round_digits=5,
+    )
+    return out.select("doc_id", "score")
+
+
+def _bm25_chunked_query(
+    spark: SparkSession, sf_dir: str, qterms: list[tuple[str, int]], mode: str, k: int
+) -> DataFrame:
+    from invertedindexbuilder_spark.operators.query_exec import (
+        topk_bm25_chunked,
+    )
+
+    env = _built(spark, sf_dir)
+    chunks = _chunked(spark, sf_dir)
+    query = " ".join(t for t, w in qterms for _ in range(w))
+    out = topk_bm25_chunked(
+        spark,
+        chunks,
         env["docs"],
         env["stats"],
         query,
@@ -365,6 +450,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, [("filter", 1), ("zzznotaterm", 1)], "and", 10
         )
 
+    def bm25_and_chunked(spark, sf_dir):
+        return _bm25_chunked_query(
+            spark, sf_dir, [("data", 1), ("spark", 1)], "and", 10
+        )
+
+    def bm25_or_chunked(spark, sf_dir):
+        return _bm25_chunked_query(
+            spark, sf_dir, [("merge", 1), ("filter", 1), ("data", 2)], "or", 10
+        )
+
     def lang_id_q(spark, sf_dir):
         return _documents(spark, sf_dir).select(
             "doc_id", lang_id(F.col("text")).alias("lang_pred")
@@ -412,14 +507,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embeddings(spark, sf_dir), query_vec_id=0, k=10, probe_all=True
         )
 
+    def ann_ivf_probe1(spark, sf_dir):
+        # the pruned path that matters at scale: probe ONLY the query's
+        # cell (oracle applies the identical cell restriction)
+        return ivf_topk(
+            _embeddings(spark, sf_dir), query_vec_id=0, k=10, probe_all=False
+        )
+
+    def embed_near_dup(spark, sf_dir):
+        from invertedindexbuilder_spark.operators.similarity import (
+            embedding_near_dup,
+        )
+
+        return embedding_near_dup(
+            _embed_dup_corpus(spark, sf_dir), threshold=0.8, planes=8
+        )
+
     def fingerprint_winnow(spark, sf_dir):
         from invertedindexbuilder_spark.operators.dedup import (
             winnow_fingerprints,
         )
 
-        return winnow_fingerprints(
-            _documents(spark, sf_dir).select("doc_id", "text"), k=5, window=4
+        corpus = (
+            _documents(spark, sf_dir)
+            .select("doc_id", "text")
+            .unionAll(
+                spark.createDataFrame(SHORT_DOCS, "doc_id long, text string")
+            )
         )
+        return winnow_fingerprints(corpus, k=5, window=4)
 
     def lineitem_rollup(spark, sf_dir):
         # grouping-sets primitive (reference has none, SURVEY §2.2)
@@ -443,8 +559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def media_features(spark, sf_dir):
         # deterministic synthetic media (no media column exists in the
-        # shared tables); rows-only check — binary decode plumbing is
-        # not ANSI-SQL-expressible (no oracle_sql entry on purpose)
+        # shared tables); the oracle is a pre-materialized expected
+        # table (expected_media_features) embedded as SQL VALUES — the
+        # feature VECTOR itself stays pytest-verified (not ANSI-SQL)
         from invertedindexbuilder_spark.operators.multimodal import (
             extract_features,
             synthetic_media,
@@ -465,6 +582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or": bm25_or,
         "bm25_or_dup": bm25_or_dup,
         "bm25_and_unknown": bm25_and_unknown,
+        "bm25_and_chunked": bm25_and_chunked,
+        "bm25_or_chunked": bm25_or_chunked,
         "lang_id": lang_id_q,
         "quality_score": quality_q,
         "token_counts": token_counts,
@@ -475,13 +594,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": simhash_q,
         "ann_cosine_topk": ann_cosine,
         "ann_ivf_topk": ann_ivf,
+        "ann_ivf_probe1": ann_ivf_probe1,
+        "embed_near_dup": embed_near_dup,
         "fingerprint_winnow": fingerprint_winnow,
         "lineitem_rollup": lineitem_rollup,
         "media_features": media_features,
     }
 
 
+def _cell_sql(vec: str, planes: int) -> str:
+    """SQL twin of similarity.grid_cell_expr: sign bits of the first
+    ``planes`` components."""
+    return (
+        "("
+        + " + ".join(
+            f"CASE WHEN {vec}[{d + 1}] > 0 THEN {1 << d} ELSE 0 END"
+            for d in range(planes)
+        )
+        + ")"
+    )
+
+
+_COS_AB = (
+    "round(list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+)
+
+
 def oracle_sql() -> dict[str, str]:
+    from invertedindexbuilder_spark.operators.multimodal import (
+        expected_media_features,
+    )
+
+    media_vals = ", ".join(
+        f"({i}, '{k}', '{s}', {nb})"
+        for i, k, s, nb in expected_media_features(200)
+    )
     jaccard_brute = (
         "WITH "
         + DEDUP_CORPUS_SQL
@@ -547,6 +695,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_unknown": _bm25_sql(
             [("filter", 1), ("zzznotaterm", 1)], "and", 10
         ),
+        # chunked serving must produce the SAME answers as the merged
+        # index — the oracle is the ordinary BM25 twin
+        "bm25_and_chunked": _bm25_sql([("data", 1), ("spark", 1)], "and", 10),
+        "bm25_or_chunked": _bm25_sql(
+            [("merge", 1), ("filter", 1), ("data", 2)], "or", 10
+        ),
         "lang_id": LANG_SQL,
         "quality_score": (
             "WITH m AS (SELECT doc_id, length(text)::BIGINT AS n_chars, "
@@ -603,8 +757,10 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
         ),
         "fingerprint_winnow": (
-            "WITH t AS (SELECT doc_id, "
-            "regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents), "
+            "WITH wd AS (SELECT doc_id, text FROM documents UNION ALL "
+            f"SELECT * FROM (VALUES {_SHORT_VALUES}) sd(doc_id, text)), "
+            "t AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM wd), "
             "g0 AS (SELECT doc_id, greatest(len(l) - 4, 0) AS n_grams, "
             "unnest(list_transform(generate_series(1, greatest(len(l) - 4, 0)), "
             "i -> {'pos': i, 'gram': l[i] || ' ' || l[i+1] || ' ' || l[i+2] "
@@ -634,5 +790,40 @@ def oracle_sql() -> dict[str, str]:
             " * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine "
             "FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0 "
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        "ann_ivf_probe1": (
+            "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+            + _cell_sql("embedding", 4)
+            + " AS cell FROM embeddings), "
+            "q AS (SELECT v AS qv, cell AS qc FROM c WHERE vec_id = 0) "
+            "SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / "
+            "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+            ", 6) AS cosine "
+            "FROM c e CROSS JOIN q WHERE e.vec_id != 0 AND e.cell = q.qc "
+            "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        "embed_near_dup": (
+            "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "FROM embeddings), "
+            "ee AS (SELECT vec_id, v FROM base "
+            "UNION ALL SELECT vec_id + 100000, v FROM base WHERE vec_id < 10 "
+            "UNION ALL SELECT vec_id + 200000, [v[1] * 2.0] || v[2:] "
+            "FROM base WHERE vec_id < 10), "
+            "cells AS (SELECT vec_id, v, "
+            + _cell_sql("v", 8)
+            + " AS cell FROM ee) "
+            "SELECT * FROM ("
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            + _COS_AB
+            + " AS cosine "
+            "FROM cells a JOIN cells b "
+            "ON a.cell = b.cell AND a.vec_id < b.vec_id"
+            ") WHERE cosine >= 0.8"
+        ),
+        "media_features": (
+            "SELECT media_id::BIGINT AS media_id, kind, payload_sha256, "
+            "n_bytes::BIGINT AS n_bytes "
+            f"FROM (VALUES {media_vals}) "
+            "t(media_id, kind, payload_sha256, n_bytes)"
         ),
     }

@@ -49,10 +49,21 @@ def tokens_expr(text_col: str = "text") -> Column:
     )
 
 
+def _gram_index_expr(toks: Column, n: int) -> Column:
+    """1-based start positions of full n-grams; EMPTY for docs shorter
+    than n tokens.  (An unguarded ``sequence(1, 0)`` is DESCENDING in
+    Spark — element_at would then hit invalid indices and crash — while
+    DuckDB's ``generate_series(1, 0)`` is empty; the guard makes both
+    engines agree on the empty set.)"""
+    return F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def shingles_expr(n: int = 3, text_col: str = "text") -> Column:
     """Distinct word n-gram shingles per doc (space-joined)."""
     toks = tokens_expr(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = _gram_index_expr(toks, n)
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
@@ -75,14 +86,21 @@ def jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Doc pairs with shingle-set Jaccard >= threshold.
 
     Brute force when ``candidates`` is None (self-join on shared
     shingles — correct, quadratic per shingle bucket); given an LSH
-    candidate pair set (doc_a, doc_b), only verifies those.
+    candidate pair set (doc_a, doc_b), only verifies those.  Pass a
+    pre-built (cached) ``shingles`` frame to share the shingle pass
+    with the signature stage; the caller then owns its lifecycle.
     """
-    sh = doc_shingles(docs, n, text_col).cache()
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(docs, n, text_col).cache()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     sh_a, sh_b = sh, sh
     if candidates is not None:
@@ -149,16 +167,20 @@ MINHASH_B0 = 17
 
 
 def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 16, n: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, k, minhash): k-th minhash of the shingle set.
 
     All K minima are computed as K agg expressions over ONE pass of the
     shingle rows (no K-fold explode — 16x less shuffle volume), then
     unpivoted with ``stack``."""
-    sh = doc_shingles(docs, n, text_col).withColumn(
-        "h", hash32(F.col("shingle"))
-    )
+    sh = (
+        shingles if shingles is not None else doc_shingles(docs, n, text_col)
+    ).withColumn("h", hash32(F.col("shingle")))
     aggs = [
         F.min(
             (
@@ -183,6 +205,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band bucket.
 
@@ -191,7 +214,7 @@ def minhash_lsh_pairs(
     near-dup candidate generation.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, text_col)
+    sig = minhash_signatures(docs, num_hashes, n, text_col, shingles=shingles)
     banded = (
         sig.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
@@ -232,10 +255,28 @@ def minhash_dedup(
     bands: int = 4,
     n: int = 3,
     text_col: str = "text",
+    release: bool = True,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates -> exact-Jaccard verify."""
-    cands = minhash_lsh_pairs(docs, num_hashes, bands, n, text_col)
-    return jaccard_pairs(docs, n, threshold, text_col, candidates=cands)
+    """Full near-dup pipeline: LSH candidates -> exact-Jaccard verify.
+
+    The (doc_id, shingle) frame — the dominant cost of the pipeline —
+    is built ONCE and shared by the signature and verify stages.  With
+    ``release=True`` the (small) verified-pair output is materialized
+    eagerly (localCheckpoint) so the shingle cache can be unpersisted
+    before returning: no storage growth across repeated dedup runs in
+    a long-lived session.
+    """
+    sh = doc_shingles(docs, n, text_col).persist()
+    cands = minhash_lsh_pairs(
+        docs, num_hashes, bands, n, text_col, shingles=sh
+    )
+    out = jaccard_pairs(
+        docs, n, threshold, text_col, candidates=cands, shingles=sh
+    )
+    if release:
+        out = out.localCheckpoint()  # eager: pins only the tiny pair set
+        sh.unpersist()
+    return out
 
 
 # ------------------------------------------------------------ winnowing
@@ -256,7 +297,7 @@ def winnow_fingerprints(
     from pyspark.sql import Window as W
 
     toks = tokens_expr(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    idx = _gram_index_expr(toks, k)
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(

@@ -26,6 +26,20 @@ from pyspark.storagelevel import StorageLevel
 
 SORT_KEYS = ["repo", "path", "commit"]
 
+# Persisted range-shuffle frames awaiting release.  The persist is a
+# CORRECTNESS guard, not just perf: the per-partition counts and the
+# final rank pass must see the same range-partitioner boundaries, so it
+# can only be dropped after the caller materializes the result.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every range-shuffle cache created by id assignment.
+    Call after the id-bearing output is materialized (e.g. after the
+    docs table write) — keeps long-lived sessions storage-flat."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
 
 def doc_id_map(
     df: DataFrame,
@@ -89,6 +103,7 @@ def _assign(
         .withColumn("_pid", F.spark_partition_id())
     )
     ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_CACHES.append(ranged)
     counts = {
         r["_pid"]: r["cnt"]
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()

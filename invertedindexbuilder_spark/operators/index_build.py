@@ -244,8 +244,17 @@ def merge_chunks(chunks: DataFrame) -> DataFrame:
 
     Light terms (the overwhelming majority) pass through 1:1.  Heavy
     terms concatenate their chunks in salt order, patching each chunk's
-    first gap from absolute to delta-vs-previous-chunk — byte-identical
-    to whole-list encoding, and cheap: the group size is #chunks, not df.
+    first gap from absolute to delta-vs-previous-chunk.
+
+    Guaranteed invariant: the merged row DECODES to exactly the
+    whole-list postings (block tables are self-describing via
+    block_counts).  Byte-identity to unsalted whole-list encoding
+    additionally holds iff every non-final chunk df is a multiple of
+    BLOCK_SIZE (true for dense every-doc stopword terms, whose
+    doc-range chunks hold whole blocks; NOT true for sparse salted
+    terms, whose ragged blocks re-segment the per-block gap/tf payload
+    interleave).  Both cases are pinned in tests/test_query_chunked.py.
+    Cheap: the group size is #chunks, not df.
     """
 
     def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:

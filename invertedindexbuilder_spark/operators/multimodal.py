@@ -58,6 +58,41 @@ FRAMES = T.StructType(
 )
 
 
+def gen_media_item(seed: int, i: int) -> tuple[str, bytes, tuple]:
+    """Deterministic (kind, payload, meta) for row ``i`` — pure function
+    shared by the distributed generator and the correctness oracle's
+    expected-table builder (expected_media_features), so the two can't
+    drift."""
+    rng = np.random.default_rng((seed, i))
+    kind = ["image", "audio", "video"][i % 3]
+    if kind == "image":
+        w, h = int(rng.integers(4, 16)), int(rng.integers(4, 16))
+        payload = rng.integers(0, 256, w * h * 3, dtype=np.uint8)
+        meta = (w, h, None, None)
+    elif kind == "audio":
+        sr = 8000
+        payload = rng.integers(0, 256, int(rng.integers(64, 512)), dtype=np.uint8)
+        meta = (None, None, sr, None)
+    else:
+        nf = int(rng.integers(2, 9))
+        payload = rng.integers(0, 256, nf * 48, dtype=np.uint8)
+        meta = (4, 4, None, nf)
+    return kind, payload.tobytes(), meta
+
+
+def expected_media_features(n: int, seed: int = 42) -> list[tuple]:
+    """Driver-side expected (media_id, kind, payload_sha256, n_bytes)
+    rows for the synthetic corpus — the SQL-embeddable oracle for the
+    non-SQL-expressible media pipeline."""
+    rows = []
+    for i in range(n):
+        kind, payload, _meta = gen_media_item(seed, i)
+        rows.append(
+            (i, kind, hashlib.sha256(payload).hexdigest(), len(payload))
+        )
+    return rows
+
+
 def synthetic_media(
     spark: SparkSession, n: int, seed: int = 42, num_partitions: int = 8
 ) -> DataFrame:
@@ -67,23 +102,10 @@ def synthetic_media(
         for pdf in batches:
             rows = {k: [] for k in ["media_id", "kind", "payload", "meta"]}
             for i in pdf["id"].tolist():
-                rng = np.random.default_rng((seed, i))
-                kind = ["image", "audio", "video"][i % 3]
-                if kind == "image":
-                    w, h = int(rng.integers(4, 16)), int(rng.integers(4, 16))
-                    payload = rng.integers(0, 256, w * h * 3, dtype=np.uint8)
-                    meta = (w, h, None, None)
-                elif kind == "audio":
-                    sr = 8000
-                    payload = rng.integers(0, 256, int(rng.integers(64, 512)), dtype=np.uint8)
-                    meta = (None, None, sr, None)
-                else:
-                    nf = int(rng.integers(2, 9))
-                    payload = rng.integers(0, 256, nf * 48, dtype=np.uint8)
-                    meta = (4, 4, None, nf)
+                kind, payload, meta = gen_media_item(seed, i)
                 rows["media_id"].append(i)
                 rows["kind"].append(kind)
-                rows["payload"].append(payload.tobytes())
+                rows["payload"].append(payload)
                 rows["meta"].append(meta)
             yield pd.DataFrame(rows)
 

@@ -117,6 +117,11 @@ def decode_matched_rows(
     ``min_doc_id``/``max_doc_id`` bound the candidate doc range (from
     the rarest conjunctive term): blocks wholly outside are never
     decoded — the reference's nextGEQ skip, set-at-a-time.
+
+    Works on merged INDEX rows and on INDEX_CHUNK rows alike: a chunk's
+    first gap is absolute, so each row decodes independently.  When a
+    ``term_df`` column is present (chunked serving), it is emitted as
+    the scoring ``df`` while ``df`` itself stays the row's decode count.
     """
 
     def explode(batches):
@@ -130,6 +135,7 @@ def decode_matched_rows(
                     min_doc_id=min_doc_id,
                     block_counts=np.asarray(r.block_counts, dtype=np.int64),
                 )
+                df_out = int(getattr(r, "term_df", r.df))
                 if max_doc_id is not None and docs.size:
                     keep = docs <= max_doc_id
                     docs, tfs = docs[keep], tfs[keep]
@@ -141,7 +147,7 @@ def decode_matched_rows(
                 yield pd.DataFrame(
                     {
                         "key": np.repeat(r.key, docs.size),
-                        "df": np.full(docs.size, int(r.df), dtype=np.int64),
+                        "df": np.full(docs.size, df_out, dtype=np.int64),
                         "weight": np.full(docs.size, int(r.weight), dtype=np.int32),
                         "doc_id": docs,
                         "tf": tfs,
@@ -184,10 +190,6 @@ def topk_bm25(
     """
     terms = tokenize_query(query)
     matched = lookup_index_rows(index, terms, strict=strict)
-    if mode == "and":
-        # the metadata collect below and the decode both read matched;
-        # pin it (a handful of rows — payloads stay distributed)
-        matched = matched.persist()
 
     n_docs = int(stats["n_docs"])
     davr = float(stats["sum_doc_len"]) / float(n_docs - 1)  # reference N-1 quirk
@@ -197,15 +199,128 @@ def topk_bm25(
     if mode == "and":
         # shortest-list-first (Q5): the rarest term bounds the candidate
         # doc range; collect only its metadata when small enough.
-        meta = matched.select("key", "df", "last_doc_ids").collect()
+        # NB: only scalars come back — never the last_doc_ids array
+        # itself (a stopword term at 10^12 docs has ~10^10 blocks, tens
+        # of GB); driver metadata stays O(#query terms) regardless of df.
+        meta = matched.select(
+            "key", "df", F.element_at("last_doc_ids", -1).alias("last_doc")
+        ).collect()
         n_keys = len(meta)
         if n_keys == 0:
             return spark.createDataFrame([], schema="doc_id long, score double")
         rare = min(meta, key=lambda r: r["df"])
         if rare["df"] <= prune_collect_limit:
-            max_doc = int(rare["last_doc_ids"][-1])
+            max_doc = int(rare["last_doc"])
 
     decoded = decode_matched_rows(matched, min_doc_id=min_doc, max_doc_id=max_doc)
+    return _score_topk(decoded, docs, n_docs, davr, mode, n_keys, k, round_digits)
+
+
+def lookup_chunk_rows(
+    chunks: DataFrame, terms: list[str], strict: bool = True
+) -> DataFrame:
+    """Match query terms against the CHUNKED index (INDEX_CHUNK).
+
+    Same lexicon semantics as :func:`lookup_index_rows` (strict 14-byte
+    keys, last term in order wins), but a matched term keeps ALL its
+    chunk rows.  The per-key winner and the full-term df are computed
+    as TINY aggregates and broadcast-joined back — NOT window functions,
+    which would exchange every chunk of a term into one partition and
+    re-serialize the heavy-term decode this layout exists to spread
+    (pinned by test_chunk_rows_decode_in_multiple_tasks).
+    """
+    spark = chunks.sparkSession
+    weights = _key_weights(terms, strict)
+    if not weights:
+        return (
+            chunks.limit(0)
+            .withColumn("key", F.lit(""))
+            .withColumn("weight", F.lit(0))
+            .withColumn("term_df", F.lit(0).cast("long"))
+        )
+    keys_df = spark.createDataFrame(
+        list(weights.items()), schema="key string, weight int"
+    )
+    if strict:
+        prune = None
+        for kk in weights:
+            cond = F.col("term").between(F.lit(kk), F.lit(kk + "\x7f"))
+            prune = cond if prune is None else (prune | cond)
+        matched = chunks.filter(prune).join(
+            F.broadcast(keys_df),
+            F.substring(F.col("term"), 1, LEXICON_KEY_LEN) == F.col("key"),
+        )
+    else:
+        matched = chunks.join(F.broadcast(keys_df), F.col("term") == F.col("key"))
+    # last-in-term-order collision winner (D5), O(#keys) rows
+    winners = matched.groupBy("key").agg(F.max("term").alias("term"))
+    matched = matched.join(F.broadcast(winners), ["key", "term"])
+    # full-term df for BM25, summed over the winner's chunks
+    tdf = matched.groupBy("key").agg(
+        F.sum("df").cast("long").alias("term_df")
+    )
+    return matched.join(F.broadcast(tdf), "key")
+
+
+def topk_bm25_chunked(
+    spark: SparkSession,
+    chunks: DataFrame,
+    docs: DataFrame,
+    stats: dict,
+    query: str,
+    mode: str = "and",
+    k: int = 10,
+    strict: bool = True,
+    prune_collect_limit: int = 100_000,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Top-k BM25 served directly from the chunked index (INDEX_CHUNK).
+
+    The 100 TB serving path: a heavy (stopword-scale) term's postings
+    live in many doc-range chunks, so its decode fans out one chunk per
+    task instead of serializing into the single task that holds the
+    GB-scale merged row.  Chunk payloads decode independently (absolute
+    first gap); BM25 needs the FULL-term df, carried as ``term_df``.
+    Results are identical to :func:`topk_bm25` over the merged index
+    (same gate oracle).  Reference anchor: the blockwise layout exists
+    precisely so heavy lists decode incrementally (model_support.c).
+    """
+    terms = tokenize_query(query)
+    matched = lookup_chunk_rows(chunks, terms, strict=strict)
+
+    n_docs = int(stats["n_docs"])
+    davr = float(stats["sum_doc_len"]) / float(n_docs - 1)
+
+    min_doc, max_doc = 0, None
+    n_keys = None
+    if mode == "and":
+        # one scalar row per key: full df + the term's overall last doc
+        meta = matched.groupBy("key").agg(
+            F.max("term_df").alias("df"),
+            F.max(F.element_at("last_doc_ids", -1)).alias("last_doc"),
+        ).collect()
+        n_keys = len(meta)
+        if n_keys == 0:
+            return spark.createDataFrame([], schema="doc_id long, score double")
+        rare = min(meta, key=lambda r: r["df"])
+        if rare["df"] <= prune_collect_limit:
+            max_doc = int(rare["last_doc"])
+
+    decoded = decode_matched_rows(matched, min_doc_id=min_doc, max_doc_id=max_doc)
+    return _score_topk(decoded, docs, n_docs, davr, mode, n_keys, k, round_digits)
+
+
+def _score_topk(
+    decoded: DataFrame,
+    docs: DataFrame,
+    n_docs: int,
+    davr: float,
+    mode: str,
+    n_keys: int | None,
+    k: int,
+    round_digits: int | None,
+) -> DataFrame:
+    """Shared scoring tail: doc_len join -> BM25 -> agg -> top-k."""
     scored_rows = decoded.join(docs.select("doc_id", "doc_len"), "doc_id")
     contrib = scored_rows.withColumn(
         "contrib", F.col("weight") * bm25_expr(n_docs, davr)

@@ -97,3 +97,48 @@ def ivf_topk(
     return cosine_topk(
         with_cell.drop("_cell"), query_vec_id, k, id_col=id_col, vec_col=vec_col
     )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH candidates ->
+    exact cosine verify (same candidates-then-verify shape as
+    MinHash+LSH in dedup.py — the 100 TB pattern).
+
+    Candidates are pairs sharing a sign-bucket over the first
+    ``planes`` components (sign-random-projection LSH with axis-aligned
+    planes, deterministic so the SQL oracle reproduces it; production
+    would union several random-hyperplane tables for recall).  The
+    bucket self-join shuffles only (bucket) keys; the exact cosine runs
+    only on candidate pairs, never all pairs.
+    """
+    cells = embeddings.select(
+        F.col(id_col).alias("vid"),
+        _as_double(F.col(vec_col)).alias("v"),
+        grid_cell_expr(F.col(vec_col), planes).alias("_cell"),
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.round(
+                dot_expr(F.col("a.v"), F.col("b.v"))
+                / (norm_expr(F.col("a.v")) * norm_expr(F.col("b.v"))),
+                round_digits,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

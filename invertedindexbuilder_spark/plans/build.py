@@ -30,6 +30,7 @@ from invertedindexbuilder_spark.operators.docids import (
     SORT_KEYS,
     attach_doc_ids,
     doc_id_map,
+    release_caches,
 )
 from invertedindexbuilder_spark.operators.index_build import (
     encode_chunks,
@@ -147,6 +148,7 @@ def build(
         resume_docs = manifest.phase_done("docs", fp)
     if not resume_docs:
         cat.write(prepare_docs(docs_src), "docs")
+        release_caches()  # docs table is durable; drop the id-map cache
         agg = docs_fp(cat.read("docs"))
         fp = f"n={agg['n']},h={agg['h']}"
         manifest.record(
