@@ -156,14 +156,32 @@ def jaccard_pairs(
 
 
 # affine family over one base hash: h_k(x) = (a_k*h(x) + b_k) mod p.
-# One md5 per shingle instead of one per (shingle, k) — 16x cheaper —
-# and plain BIGINT arithmetic both engines compute identically.
-# Bounds: a_k < 2^24, h < 2^32 => product < 2^56, no int64 overflow.
+# One base hash per shingle instead of one per (shingle, k) — 16x
+# cheaper — and plain BIGINT arithmetic both engines compute
+# identically.  Bounds: a_k < 2^24, h < 2^32 => product < 2^56, no
+# int64 overflow.
 MINHASH_P = 2147483647
 MINHASH_A = 1000003
 MINHASH_A0 = 12345
 MINHASH_B = 40503
 MINHASH_B0 = 17
+
+
+def _shingle_hash(col: Column, hash_mode: str) -> Column:
+    """Base 32-bit shingle hash.  'md5' (default) is reproducible in
+    ANSI SQL — the correctness-oracle mode; 'xxhash' is the production
+    fast path (JVM xxhash64, no hex round-trip — same candidate
+    semantics, ~not SQL-portable)."""
+    if hash_mode == "md5":
+        return hash32(col)
+    if hash_mode == "xxhash":
+        return F.pmod(F.xxhash64(col), F.lit(1 << 32))
+    raise ValueError(f"hash_mode must be 'md5' or 'xxhash', got {hash_mode!r}")
+
+
+def _bucket_hash(col: Column, hash_mode: str) -> Column:
+    """Band-bucket digest of the concatenated minhash string."""
+    return F.md5(col) if hash_mode == "md5" else F.xxhash64(col)
 
 
 def minhash_signatures(
@@ -172,6 +190,7 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     shingles: DataFrame | None = None,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """(doc_id, k, minhash): k-th minhash of the shingle set.
 
@@ -180,7 +199,7 @@ def minhash_signatures(
     unpivoted with ``stack``."""
     sh = (
         shingles if shingles is not None else doc_shingles(docs, n, text_col)
-    ).withColumn("h", hash32(F.col("shingle")))
+    ).withColumn("h", _shingle_hash(F.col("shingle"), hash_mode))
     aggs = [
         F.min(
             (
@@ -206,29 +225,33 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     shingles: DataFrame | None = None,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band bucket.
 
-    band bucket = md5 of the ordered minhash values in the band.  The
-    bucket join shuffles only (band, bucket) — the scale path for
+    band bucket = digest of the ordered minhash values in the band.
+    The bucket join shuffles only (band, bucket) — the scale path for
     near-dup candidate generation.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, text_col, shingles=shingles)
+    sig = minhash_signatures(
+        docs, num_hashes, n, text_col, shingles=shingles, hash_mode=hash_mode
+    )
     banded = (
         sig.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
             # sort by NUMERIC k via struct sort (string sort would order
             # "10:" before "8:" and disagree with the SQL ORDER BY k)
-            F.md5(
+            _bucket_hash(
                 F.concat_ws(
                     ",",
                     F.transform(
                         F.sort_array(F.collect_list(F.struct("k", "minhash"))),
                         lambda s: F.concat_ws(":", s["k"], s["minhash"]),
                     ),
-                )
+                ),
+                hash_mode,
             ).alias("bucket")
         )
     )
@@ -256,6 +279,7 @@ def minhash_dedup(
     n: int = 3,
     text_col: str = "text",
     release: bool = True,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact-Jaccard verify.
 
@@ -264,11 +288,13 @@ def minhash_dedup(
     ``release=True`` the (small) verified-pair output is materialized
     eagerly (localCheckpoint) so the shingle cache can be unpersisted
     before returning: no storage growth across repeated dedup runs in
-    a long-lived session.
+    a long-lived session.  ``hash_mode='xxhash'`` is the production
+    fast path (verify is exact Jaccard either way, so results can only
+    differ on LSH candidate recall — tested equal on planted dups).
     """
     sh = doc_shingles(docs, n, text_col).persist()
     cands = minhash_lsh_pairs(
-        docs, num_hashes, bands, n, text_col, shingles=sh
+        docs, num_hashes, bands, n, text_col, shingles=sh, hash_mode=hash_mode
     )
     out = jaccard_pairs(
         docs, n, threshold, text_col, candidates=cands, shingles=sh

@@ -119,6 +119,7 @@ def build(
     checkpoint_postings: bool = False,
     num_partitions: int | None = None,
     tokenizer: str = "jvm",
+    write_chunks: bool = False,
 ) -> dict:
     """Run (or resume) the full build.  Returns the manifest dict.
 
@@ -223,6 +224,13 @@ def build(
             chunk_blocks=eff_chunk_blocks,
             heavy=heavy,
         )
+        if write_chunks:
+            # persist the chunked table — the SERVING artifact at scale
+            # (heavy terms decode one chunk per task; see
+            # query_exec.topk_bm25_chunked) — and derive the merged
+            # reference-parity index FROM it, so encode runs once.
+            cat.write(chunks, "index_chunks")
+            chunks = cat.read("index_chunks")
         index = merge_chunks(chunks)
         cat.write(index, "index")
         idx = cat.read("index")

@@ -32,6 +32,10 @@ def main() -> int:
     ap.add_argument("--chunk-blocks", type=int, default=None,
                     help="blocks per salted chunk (default: adaptive)")
     ap.add_argument("--checkpoint-postings", action="store_true")
+    ap.add_argument("--write-chunks", action="store_true",
+                    help="also persist the chunked serving table "
+                         "(index_chunks) for topk_bm25_chunked / "
+                         "query_cli --chunked")
     ap.add_argument("--sample-fraction", type=float, default=None,
                     help="index only a deterministic fraction of docs "
                          "(reference -p flag analog, S4)")
@@ -100,6 +104,7 @@ def main() -> int:
         chunk_blocks=args.chunk_blocks,
         checkpoint_postings=args.checkpoint_postings,
         tokenizer=args.tokenizer,
+        write_chunks=args.write_chunks,
     )
     wall = time.time() - t0
     n_docs = manifest["phases"]["docs"]["rows"]

@@ -27,6 +27,10 @@ def main() -> int:
     ap.add_argument("--spark", action="store_true",
                     help="distributed DataFrame execution instead of the "
                          "driver-local session")
+    ap.add_argument("--chunked", action="store_true",
+                    help="with --spark: serve from the chunked index "
+                         "(index_chunks, built with --write-chunks) — "
+                         "heavy terms decode one chunk per task")
     ap.add_argument("--snippets-from", metavar="DOCS_SRC_PARQUET",
                     help="also print a best-window snippet per result, "
                          "re-reading content from the source table "
@@ -109,21 +113,26 @@ def main() -> int:
 
 def _spark_runner(args):
     from invertedindexbuilder_spark.catalog import Catalog
-    from invertedindexbuilder_spark.operators.query_exec import topk_bm25
+    from invertedindexbuilder_spark.operators.query_exec import (
+        topk_bm25,
+        topk_bm25_chunked,
+    )
     from invertedindexbuilder_spark.plans.build import load_stats
     from invertedindexbuilder_spark.session import get_spark
 
     spark = get_spark(app_name="query-cli", cores=args.cores)
     spark.sparkContext.setLogLevel("ERROR")
     cat = Catalog(spark, args.index)
-    index = cat.read("index").cache()
+    table = "index_chunks" if args.chunked else "index"
+    index = cat.read(table).cache()
     docs = cat.read("docs").select("doc_id", "url", "doc_len").cache()
     index.count(), docs.count()  # warm the caches (Q1 session load)
     stats = load_stats(spark, args.index)
+    exec_fn = topk_bm25_chunked if args.chunked else topk_bm25
 
     def run(query: str, mode: str, k: int) -> None:
         t0 = time.time()
-        res = topk_bm25(
+        res = exec_fn(
             spark, index, docs, stats, query,
             mode=mode, k=k, strict=not args.no_strict,
         )

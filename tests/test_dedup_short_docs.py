@@ -57,6 +57,26 @@ def test_winnow_empty_below_k(short_docs):
     assert 1 <= per_doc[6] <= 2
 
 
+def test_minhash_hash_modes_find_same_pairs(spark):
+    """'xxhash' (production fast path) and 'md5' (oracle mode) differ
+    only in candidate hashing; the exact-Jaccard verify makes the final
+    pair sets identical on planted near-dups."""
+    rows = []
+    for i in range(30):
+        body = " ".join(f"w{i}x{t}" for t in range(40))
+        rows.append((i, body))
+        if i < 5:
+            rows.append((1000 + i, body + " extra tail token"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = [(i, 1000 + i) for i in range(5)]
+    for mode in ("md5", "xxhash"):
+        got = sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_dedup(docs, threshold=0.7, hash_mode=mode).collect()
+        )
+        assert got == expect, mode
+
+
 def test_minhash_dedup_survives_short_docs(spark, short_docs):
     dup = spark.createDataFrame(
         [(100, "nine little tokens walk across the bridge every day")],
