@@ -13,12 +13,15 @@ Coverage map (SURVEY §2 rows -> queries):
   C1/C2/F1 encoder geometry -> index_meta (varbyte sizes, blocks)
   Q2/Q6/Q8/Q9 conj BM25     -> bm25_and, bm25_and_unknown
   Q7 disj BM25              -> bm25_or, bm25_or_dup
+  chunked serving (r2)      -> bm25_and_chunked, bm25_or_chunked
   S4 sampling               -> sample_mod10
   training-data extensions  -> dedup_exact, dedup_jaccard,
                                dedup_minhash_lsh, simhash,
+                               fingerprint_winnow, embed_near_dup,
                                lang_id, quality_score, token_counts,
                                content_hash, ann_cosine_topk,
-                               ann_ivf_topk
+                               ann_ivf_topk, ann_ivf_probe1,
+                               media_features, media_frames
 """
 
 from __future__ import annotations
@@ -571,6 +574,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "kind", "payload_sha256", "n_bytes"
         )
 
+    def media_frames(spark, sf_dir):
+        # video frame sampling (1:N mapInPandas explode) against the
+        # pre-materialized expected frame table
+        from invertedindexbuilder_spark.operators.multimodal import (
+            sample_frames,
+            synthetic_media,
+        )
+
+        return sample_frames(synthetic_media(spark, 200), every=2).select(
+            "media_id",
+            "frame_idx",
+            F.sha2("frame_bytes", 256).alias("frame_sha256"),
+            F.length("frame_bytes").cast("long").alias("n_bytes"),
+        )
+
     return {
         "postings": postings,
         "term_stats": term_stats,
@@ -599,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_winnow": fingerprint_winnow,
         "lineitem_rollup": lineitem_rollup,
         "media_features": media_features,
+        "media_frames": media_frames,
     }
 
 
@@ -624,11 +643,16 @@ _COS_AB = (
 def oracle_sql() -> dict[str, str]:
     from invertedindexbuilder_spark.operators.multimodal import (
         expected_media_features,
+        expected_media_frames,
     )
 
     media_vals = ", ".join(
         f"({i}, '{k}', '{s}', {nb})"
         for i, k, s, nb in expected_media_features(200)
+    )
+    frame_vals = ", ".join(
+        f"({i}, {fi}, '{s}', {nb})"
+        for i, fi, s, nb in expected_media_frames(200, every=2)
     )
     jaccard_brute = (
         "WITH "
@@ -825,5 +849,11 @@ def oracle_sql() -> dict[str, str]:
             "n_bytes::BIGINT AS n_bytes "
             f"FROM (VALUES {media_vals}) "
             "t(media_id, kind, payload_sha256, n_bytes)"
+        ),
+        "media_frames": (
+            "SELECT media_id::BIGINT AS media_id, frame_idx::BIGINT AS "
+            "frame_idx, frame_sha256, n_bytes::BIGINT AS n_bytes "
+            f"FROM (VALUES {frame_vals}) "
+            "t(media_id, frame_idx, frame_sha256, n_bytes)"
         ),
     }

@@ -93,6 +93,25 @@ def expected_media_features(n: int, seed: int = 42) -> list[tuple]:
     return rows
 
 
+def expected_media_frames(
+    n: int, seed: int = 42, every: int = 2
+) -> list[tuple]:
+    """Driver-side expected (media_id, frame_idx, frame_sha256, n_bytes)
+    rows for sample_frames over the synthetic corpus — same VALUES-table
+    oracle pattern as expected_media_features."""
+    rows = []
+    for i in range(n):
+        kind, payload, meta = gen_media_item(seed, i)
+        if kind != "video":
+            continue
+        nf = int(meta[3])
+        fsize = len(payload) // nf
+        for fi in range(0, nf, every):
+            fb = payload[fi * fsize : (fi + 1) * fsize]
+            rows.append((i, fi, hashlib.sha256(fb).hexdigest(), len(fb)))
+    return rows
+
+
 def synthetic_media(
     spark: SparkSession, n: int, seed: int = 42, num_partitions: int = 8
 ) -> DataFrame:

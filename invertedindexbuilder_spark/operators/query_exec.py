@@ -252,14 +252,21 @@ def lookup_chunk_rows(
         )
     else:
         matched = chunks.join(F.broadcast(keys_df), F.col("term") == F.col("key"))
-    # last-in-term-order collision winner (D5), O(#keys) rows
-    winners = matched.groupBy("key").agg(F.max("term").alias("term"))
-    matched = matched.join(F.broadcast(winners), ["key", "term"])
-    # full-term df for BM25, summed over the winner's chunks
-    tdf = matched.groupBy("key").agg(
+    # ONE tiny aggregate over the pruned chunk metadata computes both
+    # the full-term df and the last-in-term-order collision winner (D5):
+    # per_term has O(#keys x collision-set) rows, so the row_number
+    # window on it is trivial, and the main chunk scan happens exactly
+    # once more (broadcast join back preserves chunk partitioning).
+    per_term = matched.groupBy("key", "term").agg(
         F.sum("df").cast("long").alias("term_df")
     )
-    return matched.join(F.broadcast(tdf), "key")
+    w = Window.partitionBy("key").orderBy(F.col("term").desc())
+    winner = (
+        per_term.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return matched.join(F.broadcast(winner), ["key", "term"])
 
 
 def topk_bm25_chunked(
@@ -326,9 +333,13 @@ def _score_topk(
         "contrib", F.col("weight") * bm25_expr(n_docs, davr)
     )
     if mode == "and":
+        # (key, doc_id) is UNIQUE in decoded postings (one index row per
+        # key; chunk doc-ranges disjoint), so plain count(*) equals
+        # count_distinct(key) — and needs one exchange instead of the
+        # distinct-agg's two.
         agg = contrib.groupBy("doc_id").agg(
             F.sum("contrib").alias("score"),
-            F.count_distinct("key").alias("_nk"),
+            F.count("*").alias("_nk"),
         )
         agg = agg.filter(F.col("_nk") == F.lit(n_keys)).drop("_nk")
     elif mode == "or":
