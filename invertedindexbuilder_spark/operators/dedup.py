@@ -87,6 +87,7 @@ def jaccard_pairs(
     text_col: str = "text",
     candidates: DataFrame | None = None,
     shingles: DataFrame | None = None,
+    release: bool = True,
 ) -> DataFrame:
     """Doc pairs with shingle-set Jaccard >= threshold.
 
@@ -95,7 +96,12 @@ def jaccard_pairs(
     candidate pair set (doc_a, doc_b), only verifies those.  Pass a
     pre-built (cached) ``shingles`` frame to share the shingle pass
     with the signature stage; the caller then owns its lifecycle.
+    When this function creates the shingle cache itself and ``release``
+    is set, the (small) pair output is materialized eagerly so the
+    cache can be unpersisted before returning (storage-flat sessions,
+    same pattern as minhash_dedup).
     """
+    owns_cache = shingles is None
     sh = (
         shingles
         if shingles is not None
@@ -149,6 +155,9 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "jaccard")
     )
+    if owns_cache and release:
+        out = out.localCheckpoint()
+        sh.unpersist()
     return out
 
 

@@ -63,6 +63,64 @@ def incremental_postings(
     return writer.start()
 
 
+FIRST_SEEN_OUT = (
+    "content_sha256 string, repo string, path string, commit string, "
+    "n_dups_so_far long"
+)
+
+
+def streaming_first_seen(docs_stream: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    exact dedup across micro-batches — emit each distinct content
+    exactly once, the first time it is seen, and keep a per-content
+    duplicate counter in state.
+
+    The batch engine's exact dedup (dedup.exact_duplicate_groups) needs
+    the whole corpus; a stream by definition doesn't have it, so the
+    seen-set lives in Spark's keyed state store, partitioned by the
+    content hash — state per key is one counter, bounded and
+    shuffle-partition-parallel at any corpus size.  This is the
+    applyInPandasWithState primitive the reference (strictly batch,
+    SURVEY §2.2) has no analog for.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def first_seen(key, pdf_iter, state: GroupState):
+        import pandas as pd  # executor-side
+
+        n_before = state.get[0] if state.exists else 0
+        n_new = 0
+        first_row = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            if first_row is None and n_before == 0:
+                first_row = pdf.iloc[0]
+            n_new += len(pdf)
+        state.update((n_before + n_new,))
+        if first_row is not None:
+            yield pd.DataFrame(
+                {
+                    "content_sha256": [key[0]],
+                    "repo": [first_row["repo"]],
+                    "path": [first_row["path"]],
+                    "commit": [first_row["commit"]],
+                    "n_dups_so_far": [n_new],
+                }
+            )
+
+    keyed = docs_stream.withColumn(
+        "content_sha256", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
+    ).groupBy("content_sha256")
+    return keyed.applyInPandasWithState(
+        first_seen,
+        outputStructType=FIRST_SEEN_OUT,
+        stateStructType="n_seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

@@ -17,6 +17,7 @@ from invertedindexbuilder_spark.sources.docs_src import synthetic_docs_src
 from invertedindexbuilder_spark.streaming.ingest import (
     incremental_postings,
     stream_docs_src,
+    streaming_first_seen,
     windowed_event_counts,
 )
 
@@ -86,6 +87,58 @@ def test_incremental_postings_match_batch(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == batch.count()
+
+
+def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: each distinct content is emitted exactly
+    once even when its duplicates arrive in LATER micro-batches."""
+    from invertedindexbuilder_spark.schemas import DOCS_SRC
+
+    src_dir = tmp_path / "drops"
+    src_dir.mkdir()
+    base = synthetic_docs_src(spark, 6).collect()
+
+    def write_drop(name, rows):
+        spark.createDataFrame(rows, schema=DOCS_SRC).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src_dir / name))
+
+    # batch 1: docs 0,1,2 ; batch 2: dup of doc 1 (new path, same
+    # content) + new docs 3,4
+    r = [row.asDict() for row in base]
+    dup = dict(r[1])
+    dup["path"] = "copy/" + dup["path"]
+    write_drop("d1", [r[0], r[1], r[2]])
+    write_drop("d2", [dup, r[3], r[4]])
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(src_dir / "d1")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    out = streaming_first_seen(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "fs_out"))
+        .option("checkpointLocation", str(tmp_path / "fs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "fs_out")).collect()
+    # 5 distinct contents -> 5 rows; the duplicate emitted nothing
+    assert len(got) == 5
+    by_sha = {g["content_sha256"]: g for g in got}
+    assert len(by_sha) == 5
+    # the duplicated content is emitted exactly once, under whichever
+    # of its two paths arrived in the earlier micro-batch
+    import hashlib
+
+    dup_sha = hashlib.sha256((r[1]["content"] or "").encode()).hexdigest()
+    assert by_sha[dup_sha]["path"] in (r[1]["path"], dup["path"])
 
 
 def test_windowed_event_counts_with_watermark(spark, tmp_path):

@@ -41,7 +41,9 @@ def test_repeated_queries_do_not_grow_storage(spark):
     for q, m in [("the mid", "and"), ("the", "or")] * 5:
         topk_bm25(spark, merged, docs, stats, q, mode=m, k=5).collect()
         topk_bm25_chunked(spark, chunks, docs, stats, q, mode=m, k=5).collect()
-    assert _n_cached_rdds(spark) == base
+    # <=: Spark's async ContextCleaner may release OTHER tests' expired
+    # checkpoint RDDs mid-loop; the property under test is non-growth
+    assert _n_cached_rdds(spark) <= base
 
 
 def test_repeated_dedup_does_not_grow_storage(spark):
