@@ -560,6 +560,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def asof_latest_order(spark, sf_dir):
+        # as-of join (§2.2 'general joins'): every event gets the
+        # latest order at-or-before its timestamp, per user; one
+        # union + window shuffle, no range join
+        from invertedindexbuilder_spark.operators.asof import (
+            asof_join_latest,
+        )
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        out = asof_join_latest(
+            events,
+            orders,
+            left_key="user_id",
+            left_ts="ts",
+            right_key="o_custkey",
+            right_ts="o_orderdate",
+            right_val="o_orderkey",
+            out_val="last_orderkey",
+            keep=["event_id"],
+        )
+        # timestamps stay out of the output: the engines agree on ts
+        # COMPARISONS (both read the same parquet values) but not on a
+        # portable epoch rendering
+        return out.select("event_id", "user_id", "last_orderkey")
+
+    def tpch_q3ish(spark, sf_dir):
+        # multi-table join demo (§2.2): broadcast the filtered dim,
+        # shuffle join the facts, aggregate, top-10
+        cust = (
+            spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey")
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        return (
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("l_orderkey")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10)
+        )
+
     def media_features(spark, sf_dir):
         # deterministic synthetic media (no media column exists in the
         # shared tables); the oracle is a pre-materialized expected
@@ -616,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": embed_near_dup,
         "fingerprint_winnow": fingerprint_winnow,
         "lineitem_rollup": lineitem_rollup,
+        "asof_latest_order": asof_latest_order,
+        "tpch_q3ish": tpch_q3ish,
         "media_features": media_features,
         "media_frames": media_frames,
     }
@@ -843,6 +899,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM cells a JOIN cells b "
             "ON a.cell = b.cell AND a.vec_id < b.vec_id"
             ") WHERE cosine >= 0.8"
+        ),
+        "asof_latest_order": (
+            "WITH m AS (SELECT e.event_id, e.user_id, "
+            "max(o.o_orderdate) AS last_ts "
+            "FROM events e JOIN orders o ON o.o_custkey = e.user_id "
+            "AND o.o_orderdate <= e.ts GROUP BY 1, 2) "
+            "SELECT m.event_id, m.user_id, "
+            "max(o.o_orderkey)::BIGINT AS last_orderkey "
+            "FROM m JOIN orders o ON o.o_custkey = m.user_id "
+            "AND o.o_orderdate = m.last_ts GROUP BY 1, 2"
+        ),
+        "tpch_q3ish": (
+            "SELECT l_orderkey, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, "
+            "count(*)::BIGINT AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "WHERE c_mktsegment = 'BUILDING' GROUP BY l_orderkey "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
         ),
         "media_features": (
             "SELECT media_id::BIGINT AS media_id, kind, payload_sha256, "

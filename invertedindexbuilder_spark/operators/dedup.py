@@ -73,9 +73,21 @@ def shingles_expr(n: int = 3, text_col: str = "text") -> Column:
     return F.array_distinct(grams)
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Input-parallelism guard: a small corpus can arrive as 1-2 parquet
+    splits, serializing the CPU-bound gram explode onto one core (16.8s
+    of a 20s sf0.1 dedup run, measured).  Cheap at small scale; a real
+    multi-split corpus never triggers it."""
+    spark = docs.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
 def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) exploded, distinct per doc."""
-    return docs.select(
+    return _spread(docs).select(
         "doc_id", F.explode(shingles_expr(n, text_col)).alias("shingle")
     )
 
@@ -339,7 +351,7 @@ def winnow_fingerprints(
             " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
         ),
     )
-    g = docs.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    g = _spread(docs).select("doc_id", F.posexplode(grams).alias("pos", "gram"))
     hashed = g.withColumn("h", hash32(F.col("gram")))
     w_min = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
     return (
@@ -363,7 +375,7 @@ def simhash(docs: DataFrame, nbits: int = 32, text_col: str = "text") -> DataFra
     tokens, with hash32 token hashes so SQL engines reproduce it.
     Bit b is set iff strictly more token hashes have bit b set than
     clear."""
-    toks = docs.select(
+    toks = _spread(docs).select(
         "doc_id", F.explode(F.array_distinct(tokens_expr(text_col))).alias("tok")
     ).withColumn("h", hash32(F.col("tok")))
     bits = toks.select(
