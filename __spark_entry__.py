@@ -142,7 +142,7 @@ shing AS (
 )
 """
 
-JACCARD_TAIL = """
+JACCARD_CTES = """
 sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shing GROUP BY doc_id),
 inter AS (
   SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*)::BIGINT AS n_inter
@@ -151,6 +151,9 @@ inter AS (
   {cand_join}
   GROUP BY 1, 2
 )
+"""
+
+JACCARD_SELECT = """
 SELECT i.doc_a, i.doc_b, i.n_inter,
        round(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
 FROM inter i
@@ -158,6 +161,8 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE round(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) >= {tau}
 """
+
+JACCARD_TAIL = JACCARD_CTES + JACCARD_SELECT
 
 MINHASH_CTE = """
 mh AS (
@@ -200,19 +205,42 @@ def _lang_hits_sql(lang: str) -> str:
 
 # winner = FIRST language (sorted order) achieving the positive max —
 # mirrors the Spark loop's strict-> running max exactly
+def _lang_ctes(src: str) -> str:
+    """Composable CTE pair: p0/hits/lang over any doc source."""
+    return (
+        f"p0 AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM {src}), "
+        + "hits AS (SELECT doc_id, "
+        + ", ".join(f"{_lang_hits_sql(lg)} AS h_{lg}" for lg in sorted(LANGS))
+        + " FROM p0), "
+        + "lang AS (SELECT doc_id, CASE "
+        + "WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und' "
+        + "WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de' "
+        + "WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en' "
+        + "WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es' "
+        + "ELSE 'fr' END AS lang_pred FROM hits)"
+    )
+
+
 LANG_SQL = (
-    "WITH p0 AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents), "
-    + "hits AS (SELECT doc_id, "
-    + ", ".join(f"{_lang_hits_sql(lg)} AS h_{lg}" for lg in sorted(LANGS))
-    + " FROM p0) "
-    + "SELECT doc_id, CASE "
-    + "WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und' "
-    + "WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de' "
-    + "WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en' "
-    + "WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es' "
-    + "ELSE 'fr' END AS lang_pred "
-    + "FROM hits"
+    "WITH " + _lang_ctes("documents") + " SELECT doc_id, lang_pred FROM lang"
 )
+
+
+def _quality_ctes(src: str) -> str:
+    """Composable CTE pair: m/qual over any doc source (same formula as
+    the quality_score gate)."""
+    return (
+        f"m AS (SELECT doc_id, length(text)::BIGINT AS n_chars, "
+        "len(regexp_extract_all(trim(text), '\\S+'))::BIGINT AS n_ws, "
+        "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::BIGINT AS n_punct "
+        f"FROM {src}), "
+        "qual AS (SELECT doc_id, round("
+        "(CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.5 END) * "
+        "(CASE WHEN n_ws > 0 AND n_chars * 1.0 / n_ws BETWEEN 3.0 AND 12.0 "
+        " THEN 1.0 ELSE 0.5 END) * "
+        "(1.0 - CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 1.0 END)"
+        ", 6) AS quality FROM m)"
+    )
 
 
 # ------------------------------------------------------------ spark helpers
@@ -560,6 +588,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def curated_corpus(spark, sf_dir):
+        # END-TO-END curation: near-dup removal (MinHash-LSH losers out
+        # via ANTI join — §2.2 set-op/join row), language filter,
+        # quality filter.  The integration shape of a training-data
+        # pipeline, over the planted-duplicate corpus.
+        from invertedindexbuilder_spark.functions.text import (
+            lang_id,
+            quality_score,
+        )
+        from invertedindexbuilder_spark.operators.dedup import minhash_dedup
+
+        corpus = _dedup_corpus(spark, sf_dir)
+        pairs = minhash_dedup(corpus, threshold=0.6)
+        losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        return (
+            corpus.join(losers, "doc_id", "left_anti")
+            .filter(lang_id(F.col("text")) == "en")
+            .filter(quality_score(F.col("text")) >= 0.9)
+            .select("doc_id")
+        )
+
     def asof_latest_order(spark, sf_dir):
         # as-of join (§2.2 'general joins'): every event gets the
         # latest order at-or-before its timestamp, per user; one
@@ -670,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": embed_near_dup,
         "fingerprint_winnow": fingerprint_winnow,
         "lineitem_rollup": lineitem_rollup,
+        "curated_corpus": curated_corpus,
         "asof_latest_order": asof_latest_order,
         "tpch_q3ish": tpch_q3ish,
         "media_features": media_features,
@@ -783,16 +833,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id": LANG_SQL,
         "quality_score": (
-            "WITH m AS (SELECT doc_id, length(text)::BIGINT AS n_chars, "
-            "len(regexp_extract_all(trim(text), '\\S+'))::BIGINT AS n_ws, "
-            "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::BIGINT AS n_punct "
-            "FROM documents) "
-            "SELECT doc_id, round("
-            "(CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.5 END) * "
-            "(CASE WHEN n_ws > 0 AND n_chars * 1.0 / n_ws BETWEEN 3.0 AND 12.0 "
-            " THEN 1.0 ELSE 0.5 END) * "
-            "(1.0 - CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 1.0 END)"
-            ", 6) AS quality FROM m"
+            "WITH "
+            + _quality_ctes("documents")
+            + " SELECT doc_id, quality FROM qual"
         ),
         "token_counts": (
             "SELECT doc_id, "
@@ -899,6 +942,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM cells a JOIN cells b "
             "ON a.cell = b.cell AND a.vec_id < b.vec_id"
             ") WHERE cosine >= 0.8"
+        ),
+        "curated_corpus": (
+            "WITH "
+            + DEDUP_CORPUS_SQL
+            + ","
+            + SHINGLE_CTE
+            + ","
+            + MINHASH_CTE
+            + ","
+            + JACCARD_CTES.format(
+                cand_join=(
+                    "JOIN cand c ON c.doc_a = s1.doc_id AND c.doc_b = s2.doc_id"
+                )
+            )
+            + ", pairs AS ("
+            + JACCARD_SELECT.format(tau=0.6)
+            + "), losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs), "
+            + _lang_ctes("dd")
+            + ", "
+            + _quality_ctes("dd")
+            + " SELECT d.doc_id FROM dd d "
+            "JOIN lang l ON l.doc_id = d.doc_id "
+            "JOIN qual q ON q.doc_id = d.doc_id "
+            "WHERE l.lang_pred = 'en' AND q.quality >= 0.9 "
+            "AND d.doc_id NOT IN (SELECT doc_id FROM losers)"
         ),
         "asof_latest_order": (
             "WITH m AS (SELECT e.event_id, e.user_id, "
