@@ -588,6 +588,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def events_hourly(spark, sf_dir):
+        # tumbling time-window aggregate (batch twin of the streaming
+        # windowed_event_counts); session tz is pinned UTC so both
+        # engines bucket identically
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .select(
+                # ts reads as TIMESTAMP_NTZ; NTZ -> LTZ is value-exact
+                # under the session's pinned UTC tz, then -> epoch secs
+                F.col("w.start")
+                .cast("timestamp")
+                .cast("long")
+                .alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+
     def curated_corpus(spark, sf_dir):
         # END-TO-END curation: near-dup removal (MinHash-LSH losers out
         # via ANTI join — §2.2 set-op/join row), language filter,
@@ -719,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": embed_near_dup,
         "fingerprint_winnow": fingerprint_winnow,
         "lineitem_rollup": lineitem_rollup,
+        "events_hourly": events_hourly,
         "curated_corpus": curated_corpus,
         "asof_latest_order": asof_latest_order,
         "tpch_q3ish": tpch_q3ish,
@@ -942,6 +967,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM cells a JOIN cells b "
             "ON a.cell = b.cell AND a.vec_id < b.vec_id"
             ") WHERE cosine >= 0.8"
+        ),
+        "events_hourly": (
+            "SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT "
+            "AS window_start, event_type, count(*)::BIGINT AS n_events, "
+            "round(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY 1, 2"
         ),
         "curated_corpus": (
             "WITH "
