@@ -179,6 +179,37 @@ def test_chunked_matches_merged(spark, corpus, query, mode):
     assert len(a) > 0
 
 
+def test_build_write_chunks_serves_identically(spark, tmp_out):
+    """Full plan with write_chunks=True: the persisted index_chunks
+    artifact serves the same answers as the merged index it derived."""
+    from invertedindexbuilder_spark.catalog import Catalog
+    from invertedindexbuilder_spark.plans.build import build, load_stats
+    from invertedindexbuilder_spark.sources.docs_src import synthetic_docs_src
+
+    src = synthetic_docs_src(spark, 400)
+    build(
+        spark, src, tmp_out, write_chunks=True, salt_threshold=200, chunk_blocks=1
+    )
+    cat = Catalog(spark, tmp_out)
+    chunks = cat.read("index_chunks")
+    index = cat.read("index")
+    docs = cat.read("docs").select("doc_id", "doc_len")
+    stats = load_stats(spark, tmp_out)
+    # the fixture stopword 'common' (df ~380 > 200) must be chunked
+    assert chunks.filter(F.col("term") == "common").count() > 1
+    for query, mode in [("common alpha", "and"), ("alpha beta gamma", "or")]:
+        a = topk_bm25(
+            spark, index, docs, stats, query, mode=mode, k=10, round_digits=6
+        ).collect()
+        b = topk_bm25_chunked(
+            spark, chunks, docs, stats, query, mode=mode, k=10, round_digits=6
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ]
+        assert a
+
+
 def test_and_semantics_against_brute_force(spark, corpus):
     """Cross-check one conjunctive result against a numpy re-score."""
     got = topk_bm25(
