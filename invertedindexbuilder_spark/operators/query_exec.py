@@ -85,12 +85,12 @@ def lookup_index_rows(
             F.broadcast(keys_df),
             F.substring(F.col("term"), 1, LEXICON_KEY_LEN) == F.col("key"),
         )
-        w = Window.partitionBy("key").orderBy(F.col("term").desc())
-        matched = (
-            matched.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        # collision winner (last term in order, D5) via a tiny agg +
+        # broadcast join back — a row_number window here would EXCHANGE
+        # the matched rows incl. their payloads (GBs for a stopword
+        # term) just to rank a handful of collision candidates.
+        winner = matched.groupBy("key").agg(F.max("term").alias("term"))
+        matched = matched.join(F.broadcast(winner), ["key", "term"])
     else:
         matched = index.join(F.broadcast(keys_df), F.col("term") == F.col("key"))
     return matched
