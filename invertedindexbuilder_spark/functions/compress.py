@@ -207,13 +207,20 @@ def decode_blocks_pruned(
     prev_doc_id: int = 0,
     block_size: int = BLOCK_SIZE,
     block_counts: np.ndarray | None = None,
+    max_doc_id: int | None = None,
 ):
-    """Decode only blocks whose last_doc_id >= min_doc_id (the Spark
-    analog of the reference's nextGEQ block skipping, inverted_list.c:36-77)
-    plus correct delta-chain re-basing: skipped block K's base is
-    last_doc_ids[K-1], which is stored, so no skipped bytes are read.
+    """Decode only blocks intersecting [min_doc_id, max_doc_id] (the
+    Spark analog of the reference's nextGEQ block skipping,
+    inverted_list.c:36-77) plus correct delta-chain re-basing: skipped
+    block K's base is last_doc_ids[K-1], which is stored, so no skipped
+    bytes are read.  Blocks below keep-range are skipped by offset;
+    blocks wholly ABOVE max_doc_id (their preceding last >= max) are
+    truncated off the tail — a conjunctive query bounded by the rarest
+    term's last doc never decodes them.
 
-    Returns (doc_ids, tfs) of the surviving suffix of the list.
+    Returns (doc_ids, tfs) of the surviving middle of the list; rows
+    inside the boundary blocks may still straddle the range — callers
+    apply the exact row filter.
     """
     last_doc_ids = np.asarray(last_doc_ids, dtype=np.int64)
     block_bytes = np.asarray(block_bytes, dtype=np.int64)
@@ -223,16 +230,26 @@ def decode_blocks_pruned(
     first = int(np.searchsorted(last_doc_ids, min_doc_id, side="left"))
     if first >= last_doc_ids.size:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    if max_doc_id is not None:
+        # keep block b iff its exclusive lower bound last[b-1] <= max
+        stop = int(
+            np.searchsorted(last_doc_ids[:-1], max_doc_id, side="left")
+        ) + 1
+    else:
+        stop = last_doc_ids.size
+    if stop <= first:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     off = int(block_bytes[:first].sum())
+    end = off + int(block_bytes[first:stop].sum())
     base = int(last_doc_ids[first - 1]) if first > 0 else prev_doc_id
-    remaining = df - int(block_counts[:first].sum())
+    remaining = int(block_counts[first:stop].sum())
     return decode_posting_list(
-        payload[off:],
+        payload[off:end],
         remaining,
-        block_bytes[first:],
+        block_bytes[first:stop],
         prev_doc_id=base,
         block_size=block_size,
-        block_counts=block_counts[first:],
+        block_counts=block_counts[first:stop],
     )
 
 

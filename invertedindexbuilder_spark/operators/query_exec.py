@@ -134,6 +134,7 @@ def decode_matched_rows(
                     np.asarray(r.block_bytes, dtype=np.int64),
                     min_doc_id=min_doc_id,
                     block_counts=np.asarray(r.block_counts, dtype=np.int64),
+                    max_doc_id=max_doc_id,
                 )
                 df_out = int(getattr(r, "term_df", r.df))
                 if max_doc_id is not None and docs.size:
@@ -312,6 +313,11 @@ def topk_bm25_chunked(
         rare = min(meta, key=lambda r: r["df"])
         if rare["df"] <= prune_collect_limit:
             max_doc = int(rare["last_doc"])
+        if max_doc is not None:
+            # chunks wholly above the rarest term's doc range never
+            # even enter the decode stage (task-level pruning; block-
+            # level pruning inside boundary chunks happens in decode)
+            matched = matched.filter(F.col("first_doc_id") <= F.lit(max_doc))
 
     decoded = decode_matched_rows(matched, min_doc_id=min_doc, max_doc_id=max_doc)
     return _score_topk(decoded, docs, n_docs, davr, mode, n_keys, k, round_digits)

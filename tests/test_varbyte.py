@@ -153,6 +153,32 @@ def test_pruned_decode_matches_suffix():
         np.testing.assert_array_equal(t2, tfs[lo:])
 
 
+def test_pruned_decode_max_bound_truncates_blocks():
+    """[min, max] block pruning: every kept doc range is a superset of
+    the exact [min, max] rows and never includes blocks wholly outside;
+    boundary blocks may straddle (callers row-filter)."""
+    docs = np.arange(1, 1001, dtype=np.int64) * 3
+    tfs = (docs % 7 + 1).astype(np.int64)
+    last, sizes, _, payload = encode_posting_list(docs, tfs)
+    for lo_doc, hi_doc in [
+        (0, 0), (0, 3), (0, 384), (5, 2000), (1200, 1201),
+        (0, 10**6), (2999, 3000), (3000, 3001), (3001, 10**6),
+    ]:
+        d2, t2 = decode_blocks_pruned(
+            payload, 1000, last, sizes, min_doc_id=lo_doc, max_doc_id=hi_doc
+        )
+        exact = (docs >= lo_doc) & (docs <= hi_doc)
+        keep = np.isin(docs, d2)
+        # superset of the exact range rows...
+        assert (keep | ~exact).all()
+        # ...and at most one boundary block of slack on each side
+        assert d2.size <= exact.sum() + 2 * 128
+        # decoded rows are internally consistent
+        pos = np.searchsorted(docs, d2)
+        np.testing.assert_array_equal(docs[pos], d2)
+        np.testing.assert_array_equal(tfs[pos], t2)
+
+
 def test_reference_record_layout():
     docs = np.array([3, 10], dtype=np.int64)
     tfs = np.array([1, 4], dtype=np.int64)
