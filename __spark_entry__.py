@@ -588,6 +588,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def index_compacted(spark, sf_dir):
+        # incremental compaction: index the first 400 docs, fold the
+        # rest in as a delta WITHOUT re-encoding old postings; the
+        # oracle sees only the final corpus-wide (term, df, last_doc)
+        from invertedindexbuilder_spark.operators.index_build import (
+            compact_chunks,
+            encode_chunks,
+            merge_chunks,
+        )
+
+        env = _built(spark, sf_dir)
+        old_p = env["postings"].filter(F.col("doc_id") < 400)
+        delta_p = env["postings"].filter(F.col("doc_id") >= 400)
+        old_chunks = encode_chunks(old_p, salt_threshold=64, chunk_blocks=1)
+        merged = merge_chunks(
+            compact_chunks(
+                old_chunks, delta_p, salt_threshold=64, chunk_blocks=1
+            )
+        )
+        return merged.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.element_at("last_doc_ids", -1).cast("long").alias("last_doc"),
+        )
+
     def events_hourly(spark, sf_dir):
         # tumbling time-window aggregate (batch twin of the streaming
         # windowed_event_counts); session tz is pinned UTC so both
@@ -743,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": embed_near_dup,
         "fingerprint_winnow": fingerprint_winnow,
         "lineitem_rollup": lineitem_rollup,
+        "index_compacted": index_compacted,
         "events_hourly": events_hourly,
         "curated_corpus": curated_corpus,
         "asof_latest_order": asof_latest_order,
@@ -967,6 +993,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM cells a JOIN cells b "
             "ON a.cell = b.cell AND a.vec_id < b.vec_id"
             ") WHERE cosine >= 0.8"
+        ),
+        "index_compacted": (
+            f"WITH {TOKENIZE_CTE} SELECT term, count(*)::BIGINT AS df, "
+            "max(doc_id)::BIGINT AS last_doc FROM postings GROUP BY term"
         ),
         "events_hourly": (
             "SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT "

@@ -258,7 +258,11 @@ def merge_chunks(chunks: DataFrame) -> DataFrame:
     """
 
     def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("salt")
+        # order by doc range, not salt: chunks of one term are disjoint
+        # doc ranges, and first_doc_id is the correct merge order even
+        # when chunks come from different build GENERATIONS (incremental
+        # compaction unions old and delta chunks whose salts overlap)
+        pdf = pdf.sort_values("first_doc_id")
         if len(pdf) == 1:
             r = pdf.iloc[0]
             return pd.DataFrame(
@@ -307,6 +311,49 @@ def merge_chunks(chunks: DataFrame) -> DataFrame:
         )
 
     return chunks.groupBy("term").applyInPandas(merge_fn, schema=INDEX)
+
+
+def compact_chunks(
+    old_chunks: DataFrame,
+    delta_postings: DataFrame,
+    num_partitions: int | None = None,
+    salt_threshold: int | None = None,
+    chunk_blocks: int | None = None,
+) -> DataFrame:
+    """Incremental index maintenance: fold a postings DELTA (new docs,
+    doc_ids strictly greater than every already-indexed doc) into an
+    existing chunked index WITHOUT re-encoding old postings.
+
+    The delta is chunk-encoded on its own (same operator), unioned with
+    the old chunks, and the result is a valid INDEX_CHUNK table:
+    per-term chunk doc ranges stay disjoint because delta ids are
+    beyond the old maximum, and merge_chunks orders by first_doc_id, so
+    ``merge_chunks(compact_chunks(...))`` decodes identically to a full
+    rebuild over the unioned corpus (tested).  This is the batch
+    compaction step the streaming ingest path (streaming/ingest.py)
+    folds its micro-batch deltas through — old data is never touched,
+    which at 100 TB is the difference between an hourly compaction and
+    a full re-shuffle of the corpus.
+    """
+    spark = delta_postings.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if salt_threshold is None:
+        salt_threshold, chunk_blocks, heavy = resolve_salting(
+            delta_postings, num_partitions, salt_threshold, chunk_blocks
+        )
+    else:
+        if chunk_blocks is None:
+            chunk_blocks = max(64, salt_threshold // BLOCK_SIZE)
+        heavy = heavy_terms(delta_postings, salt_threshold)
+    delta = encode_chunks(
+        delta_postings,
+        num_partitions=num_partitions,
+        salt_threshold=salt_threshold,
+        chunk_blocks=chunk_blocks,
+        heavy=heavy,
+    )
+    return old_chunks.select(*delta.columns).unionByName(delta)
 
 
 def build_index(

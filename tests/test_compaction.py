@@ -1,0 +1,107 @@
+"""Incremental compaction: folding a postings delta into an existing
+chunked index must decode identically to a full rebuild over the
+unioned corpus, and serve identical query results."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from invertedindexbuilder_spark.functions.compress import decode_posting_list
+from invertedindexbuilder_spark.operators.index_build import (
+    compact_chunks,
+    encode_chunks,
+    merge_chunks,
+)
+from invertedindexbuilder_spark.operators.query_exec import (
+    topk_bm25,
+    topk_bm25_chunked,
+)
+
+N_OLD, N_ALL = 600, 900
+
+
+def _postings_rows(lo, hi):
+    rows = []
+    for d in range(lo, hi):
+        rows.append(("the", d, 1 + d % 3))
+        if d % 4 == 0:
+            rows.append(("mid", d, 1 + d % 2))
+        if d % 250 == 3:
+            rows.append(("rare", d, 2))
+        if 600 <= d and d % 7 == 0:
+            rows.append(("newterm", d, 1))  # term born in the delta
+    return rows
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    old = spark.createDataFrame(
+        _postings_rows(0, N_OLD), "term string, doc_id long, tf long"
+    )
+    delta = spark.createDataFrame(
+        _postings_rows(N_OLD, N_ALL), "term string, doc_id long, tf long"
+    )
+    full = spark.createDataFrame(
+        _postings_rows(0, N_ALL), "term string, doc_id long, tf long"
+    )
+    old_chunks = encode_chunks(old, salt_threshold=64, chunk_blocks=1).cache()
+    compacted_chunks = compact_chunks(
+        old_chunks, delta, salt_threshold=64, chunk_blocks=1
+    ).cache()
+    return {
+        "compacted": merge_chunks(compacted_chunks).cache(),
+        "compacted_chunks": compacted_chunks,
+        "full": merge_chunks(
+            encode_chunks(full, salt_threshold=64, chunk_blocks=1)
+        ).cache(),
+        "rows": _postings_rows(0, N_ALL),
+    }
+
+
+def _decode(row):
+    return decode_posting_list(
+        bytes(row["payload"]),
+        int(row["df"]),
+        np.asarray(row["block_bytes"], dtype=np.int64),
+        block_counts=np.asarray(row["block_counts"], dtype=np.int64),
+    )
+
+
+def test_compacted_decodes_like_full_rebuild(frames):
+    comp = {r["term"]: r for r in frames["compacted"].collect()}
+    full = {r["term"]: r for r in frames["full"].collect()}
+    assert set(comp) == set(full) == {"the", "mid", "rare", "newterm"}
+    for term in full:
+        dc, tc = _decode(comp[term])
+        df_, tf_ = _decode(full[term])
+        np.testing.assert_array_equal(dc, df_)
+        np.testing.assert_array_equal(tc, tf_)
+        assert comp[term]["df"] == full[term]["df"]
+
+
+def test_compacted_serves_identical_queries(spark, frames):
+    docs = spark.range(N_ALL).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(100) + F.col("id") % 40).cast("long").alias("doc_len"),
+    )
+    stats = {
+        "n_docs": N_ALL,
+        "sum_doc_len": sum(100 + d % 40 for d in range(N_ALL)),
+    }
+    for q, m in [("the newterm", "and"), ("mid rare the", "or")]:
+        a = topk_bm25(
+            spark, frames["full"], docs, stats, q, mode=m, k=10, round_digits=6
+        ).collect()
+        b = topk_bm25(
+            spark, frames["compacted"], docs, stats, q, mode=m, k=10,
+            round_digits=6,
+        ).collect()
+        c = topk_bm25_chunked(
+            spark, frames["compacted_chunks"], docs, stats, q, mode=m, k=10,
+            round_digits=6,
+        ).collect()
+        key = lambda rows: [(r["doc_id"], r["score"]) for r in rows]
+        assert key(a) == key(b) == key(c)
+        assert a
