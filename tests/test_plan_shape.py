@@ -1,0 +1,82 @@
+"""Physical-plan regression guards: the scale properties argued in
+BENCH/PLANS.md are asserted on the optimizer output itself, so a
+refactor that silently reintroduces a payload-row exchange or a window
+over chunk rows fails CI, not a 100x production run."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from invertedindexbuilder_spark.operators.index_build import encode_chunks
+from invertedindexbuilder_spark.operators.postings import build_postings_jvm
+from invertedindexbuilder_spark.operators.query_exec import (
+    lookup_chunk_rows,
+    lookup_index_rows,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffle_exchanges(plan: str) -> int:
+    # 'Exchange hashpartitioning(...)' etc; BroadcastExchange excluded
+    return len(re.findall(r"(?<!Broadcast)Exchange (?:hash|range|Single)", plan))
+
+
+@pytest.fixture(scope="module")
+def tables(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("plans"))
+    rows = []
+    for d in range(400):
+        rows.append(("the", d, 1))
+        if d % 3 == 0:
+            rows.append(("mid", d, 2))
+    postings = spark.createDataFrame(rows, "term string, doc_id long, tf long")
+    encode_chunks(postings, salt_threshold=64, chunk_blocks=1).write.parquet(
+        root + "/chunks"
+    )
+    from invertedindexbuilder_spark.operators.index_build import merge_chunks
+
+    merge_chunks(spark.read.parquet(root + "/chunks")).write.parquet(
+        root + "/index"
+    )
+    return {
+        "chunks": spark.read.parquet(root + "/chunks"),
+        "index": spark.read.parquet(root + "/index"),
+    }
+
+
+def test_tokenize_plan_is_one_exchange_no_window(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d")], "doc_id long, text string"
+    ).withColumnRenamed("text", "content")
+    plan = _plan(build_postings_jvm(docs))
+    assert _shuffle_exchanges(plan) == 1  # the (term, doc_id) agg only
+    assert "Window" not in plan
+
+
+def test_merged_lookup_never_exchanges_payload_rows(tables):
+    plan = _plan(lookup_index_rows(tables["index"], ["the", "mid"], strict=True))
+    assert "Window" not in plan
+    # every non-broadcast exchange in this plan is the tiny winner agg;
+    # none of them may carry the payload column
+    for m in re.finditer(r"(?<!Broadcast)Exchange [^\n]*", plan):
+        assert "payload" not in m.group(0)
+    # term-range pushdown reaches the scan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(term," in plan
+
+
+def test_chunk_lookup_never_exchanges_chunk_rows(tables):
+    plan = _plan(lookup_chunk_rows(tables["chunks"], ["the", "mid"], strict=True))
+    for m in re.finditer(r"(?<!Broadcast)Exchange [^\n]*", plan):
+        assert "payload" not in m.group(0)
+    # the winner/df aggregate side is column-pruned: it must not read
+    # the payload at all (one payload-bearing scan total; the FileScan
+    # output-column list is used because ReadSchema strings truncate)
+    scans = re.findall(r"FileScan parquet \[[^\]]*\]", plan)
+    assert len(scans) == 2
+    assert sum("payload#" in s for s in scans) == 1
