@@ -588,6 +588,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def sessionize(spark, sf_dir):
+        # gap-based sessionization (lag + cumulative-sum windows):
+        # a >30-min silence starts a new session per user
+        from pyspark.sql import Window as W
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp").cast("long").alias("t"),
+            "value",
+        )
+        w = W.partitionBy("user_id").orderBy("t", "event_id")
+        sess = (
+            ev.withColumn("prev_t", F.lag("t").over(w))
+            .withColumn(
+                "new_sess",
+                F.when(
+                    F.col("prev_t").isNull()
+                    | (F.col("t") - F.col("prev_t") > 1800),
+                    1,
+                ).otherwise(0),
+            )
+            .withColumn(
+                "session_id",
+                F.sum("new_sess").over(
+                    w.rowsBetween(W.unboundedPreceding, 0)
+                ),
+            )
+        )
+        return sess.groupBy("user_id", "session_id").agg(
+            F.count("*").alias("n_events"),
+            F.min("t").alias("t_start"),
+            F.max("t").alias("t_end"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+
     def index_compacted(spark, sf_dir):
         # incremental compaction: index the first 400 docs, fold the
         # rest in as a delta WITHOUT re-encoding old postings; the
@@ -768,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": embed_near_dup,
         "fingerprint_winnow": fingerprint_winnow,
         "lineitem_rollup": lineitem_rollup,
+        "sessionize": sessionize,
         "index_compacted": index_compacted,
         "events_hourly": events_hourly,
         "curated_corpus": curated_corpus,
@@ -993,6 +1030,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM cells a JOIN cells b "
             "ON a.cell = b.cell AND a.vec_id < b.vec_id"
             ") WHERE cosine >= 0.8"
+        ),
+        "sessionize": (
+            # floor(epoch()): DuckDB's ::BIGINT cast ROUNDS fractional
+            # seconds; Spark's timestamp->long cast truncates
+            "WITH ev AS (SELECT event_id, user_id, "
+            "floor(epoch(ts))::BIGINT AS t, value FROM events), "
+            "g AS (SELECT *, lag(t) OVER "
+            "(PARTITION BY user_id ORDER BY t, event_id) AS prev_t FROM ev), "
+            "s AS (SELECT *, CASE WHEN prev_t IS NULL OR t - prev_t > 1800 "
+            "THEN 1 ELSE 0 END AS new_sess FROM g), "
+            "sid AS (SELECT *, sum(new_sess) OVER "
+            "(PARTITION BY user_id ORDER BY t, event_id "
+            "ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id FROM s) "
+            "SELECT user_id, session_id, count(*)::BIGINT AS n_events, "
+            "min(t)::BIGINT AS t_start, max(t)::BIGINT AS t_end, "
+            "round(sum(value), 4) AS sum_value "
+            "FROM sid GROUP BY user_id, session_id"
         ),
         "index_compacted": (
             f"WITH {TOKENIZE_CTE} SELECT term, count(*)::BIGINT AS df, "
