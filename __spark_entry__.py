@@ -14,6 +14,7 @@ Coverage map (SURVEY §2 rows -> queries):
   Q2/Q6/Q8/Q9 conj BM25     -> bm25_and, bm25_and_unknown
   Q7 disj BM25              -> bm25_or, bm25_or_dup
   chunked serving (r2)      -> bm25_and_chunked, bm25_or_chunked
+  incremental compaction    -> index_compacted
   S4 sampling               -> sample_mod10
   training-data extensions  -> dedup_exact, dedup_jaccard,
                                dedup_minhash_lsh, simhash,
@@ -21,7 +22,11 @@ Coverage map (SURVEY §2 rows -> queries):
                                lang_id, quality_score, token_counts,
                                content_hash, ann_cosine_topk,
                                ann_ivf_topk, ann_ivf_probe1,
-                               media_features, media_frames
+                               media_features, media_frames,
+                               curated_corpus
+  Spark-primitive demos     -> lineitem_rollup, events_hourly,
+                               sessionize, asof_latest_order,
+                               tpch_q3ish
 """
 
 from __future__ import annotations
