@@ -19,11 +19,19 @@ Replicated reference semantics (SURVEY §5.5):
   (query.c:92-108).
 
 Scale notes: the per-term index rows stay distributed (a stopword row
-at 10^12 docs is GBs — never collected); the docs join for doc_len
-shuffles on doc_id and benefits from bucketing the docs table by
-doc_id; stats is a broadcast scalar pair.  Conjunctive queries prune
-candidate blocks with the rarest term's doc range (the nextGEQ skip
-analog) before decoding.
+at 10^12 docs is GBs — never collected; driver metadata is O(#query
+terms) scalars); the docs join for doc_len shuffles on doc_id and
+benefits from bucketing the docs table by doc_id; stats is a broadcast
+scalar pair.  Conjunctive queries prune two-sidedly with the rarest
+term's doc range (the nextGEQ skip analog): whole chunks above the
+bound leave the plan, boundary chunks truncate blocks in the decoder.
+Disjunctive queries decode every matched block — embarrassingly
+parallel over chunks and bandwidth-bound; the exact block-max (BMW)
+pruning lives in the driver-local session (local_query.py), whose
+adaptive theta/candidate-completion loop is inherently sequential — a
+set-at-a-time distributed adaptation (theta from light lists, a
+candidate x block-range join for completion) is the known next step if
+distributed OR latency ever matters at stopword scale.
 """
 
 from __future__ import annotations
