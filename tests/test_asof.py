@@ -1,9 +1,14 @@
 """As-of join semantics: latest right row at-or-before each left ts,
-per key; ties and no-match rows pinned explicitly."""
+per key; ties and no-match rows pinned explicitly, plus a randomized
+cross-check against pandas.merge_asof (an independent implementation
+of the same point-in-time semantics)."""
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
 
 from invertedindexbuilder_spark.operators.asof import asof_join_latest
 
@@ -47,3 +52,60 @@ def test_asof_join_latest_semantics(spark):
         ).collect()
     }
     assert got == {1: 101, 2: 100, 4: 201}
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    rng = np.random.default_rng(7)
+    t0 = datetime(2024, 1, 1)
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(200, dtype=np.int64),
+            "user_id": rng.integers(0, 8, 200),
+            "ts": [t0 + timedelta(seconds=int(s)) for s in rng.integers(0, 50_000, 200)],
+        }
+    )
+    od = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1000, 1080, dtype=np.int64),
+            "o_custkey": rng.integers(0, 8, 80),
+            "o_orderdate": [
+                t0 + timedelta(seconds=int(s)) for s in rng.integers(0, 50_000, 80)
+            ],
+        }
+    )
+    got = (
+        asof_join_latest(
+            spark.createDataFrame(ev),
+            spark.createDataFrame(od),
+            left_key="user_id",
+            left_ts="ts",
+            right_key="o_custkey",
+            right_ts="o_orderdate",
+            right_val="o_orderkey",
+            out_val="last_orderkey",
+            keep=["event_id"],
+        )
+        .toPandas()
+        .set_index("event_id")["last_orderkey"]
+        .sort_index()
+    )
+    # independent oracle: dedup right per (key, ts) keeping max value,
+    # then backward merge_asof (includes exact-ts matches, like ours)
+    od2 = (
+        od.groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"]
+        .max()
+        .sort_values("o_orderdate")
+    )
+    want = pd.merge_asof(
+        ev.sort_values("ts"),
+        od2,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        direction="backward",
+    ).dropna(subset=["o_orderkey"])
+    want = want.set_index("event_id")["o_orderkey"].astype("int64").sort_index()
+    pd.testing.assert_series_equal(
+        got, want, check_names=False, check_dtype=False
+    )
