@@ -73,13 +73,29 @@ def shingles_expr(n: int = 3, text_col: str = "text") -> Column:
     return F.array_distinct(grams)
 
 
+_SPREAD_SIZE_LIMIT = 256 << 20  # bytes; below this a repartition is free
+
+
 def _spread(docs: DataFrame) -> DataFrame:
     """Input-parallelism guard: a small corpus can arrive as 1-2 parquet
-    splits, serializing the CPU-bound gram explode onto one core (16.8s
-    of a 20s sf0.1 dedup run, measured).  Cheap at small scale; a real
-    multi-split corpus never triggers it."""
+    splits — or as a UNION whose partition COUNT looks fine while one
+    leg holds nearly all rows (measured: the gate's dedup corpus put
+    5,000 of 5,044 rows in one of 11 partitions) — serializing the
+    CPU-bound gram explode onto one core (16.8s of a 20s sf0.1 dedup
+    run).  Partition counts can't see that skew, so the rule is by
+    Catalyst's size estimate: small inputs always repartition (the
+    shuffle is trivially cheap there); large inputs trust their split
+    layout, which on a real multi-split corpus is already balanced."""
     spark = docs.sparkSession
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        size = int(
+            docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # estimate unavailable -> fall back to count rule
+        size = _SPREAD_SIZE_LIMIT + 1
+    if size <= _SPREAD_SIZE_LIMIT:
+        return docs.repartition(target)
     if docs.rdd.getNumPartitions() < target:
         return docs.repartition(target)
     return docs

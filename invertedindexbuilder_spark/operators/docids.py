@@ -26,25 +26,34 @@ from pyspark.storagelevel import StorageLevel
 
 SORT_KEYS = ["repo", "path", "commit"]
 
-# Persisted range-shuffle frames awaiting release.  The persist is a
-# CORRECTNESS guard, not just perf: the per-partition counts and the
-# final rank pass must see the same range-partitioner boundaries, so it
-# can only be dropped after the caller materializes the result.
-_LIVE_CACHES: list[DataFrame] = []
 
+class CacheScope:
+    """Holder for the range-shuffle persists created by ONE id
+    assignment.  The persist is a CORRECTNESS guard, not just perf: the
+    per-partition counts and the final rank pass must see the same
+    range-partitioner boundaries (re-sampling could move them), so it
+    may only be dropped after the caller materializes the id-bearing
+    output — call :meth:`release` then.  Scoped per assignment, NOT a
+    module global: concurrent builds in one session must not release
+    each other's caches, and an abandoned scope is garbage-collected
+    with its frames (letting Spark's ContextCleaner reclaim storage)."""
 
-def release_caches() -> None:
-    """Unpersist every range-shuffle cache created by id assignment.
-    Call after the id-bearing output is materialized (e.g. after the
-    docs table write) — keeps long-lived sessions storage-flat."""
-    while _LIVE_CACHES:
-        _LIVE_CACHES.pop().unpersist()
+    def __init__(self) -> None:
+        self._frames: list[DataFrame] = []
+
+    def add(self, df: DataFrame) -> None:
+        self._frames.append(df)
+
+    def release(self) -> None:
+        while self._frames:
+            self._frames.pop().unpersist()
 
 
 def doc_id_map(
     df: DataFrame,
     sort_keys: list[str] | None = None,
     num_partitions: int | None = None,
+    cache_scope: CacheScope | None = None,
 ) -> tuple[DataFrame, int]:
     """(keys + doc_id) mapping table and the total row count.
 
@@ -52,10 +61,13 @@ def doc_id_map(
     enters the range shuffle or the persist (persisting the full corpus
     was measured as the docs-phase scaling bottleneck).  The caller
     joins the mapping back: broadcast when it fits, sort-merge
-    otherwise (``attach_doc_ids``).
+    otherwise (``attach_doc_ids``).  Pass a :class:`CacheScope` to
+    release the internal persist after materializing the output.
     """
     sort_keys = sort_keys or SORT_KEYS
-    ids, total = _assign(df.select(*sort_keys), sort_keys, num_partitions)
+    ids, total = _assign(
+        df.select(*sort_keys), sort_keys, num_partitions, cache_scope
+    )
     return ids, total
 
 
@@ -92,6 +104,7 @@ def _assign(
     df: DataFrame,
     sort_keys: list[str],
     num_partitions: int | None = None,
+    cache_scope: CacheScope | None = None,
 ) -> tuple[DataFrame, int]:
     spark = df.sparkSession
     if num_partitions is None:
@@ -103,7 +116,8 @@ def _assign(
         .withColumn("_pid", F.spark_partition_id())
     )
     ranged.persist(StorageLevel.MEMORY_AND_DISK)
-    _LIVE_CACHES.append(ranged)
+    if cache_scope is not None:
+        cache_scope.add(ranged)
     counts = {
         r["_pid"]: r["cnt"]
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()

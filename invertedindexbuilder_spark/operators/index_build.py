@@ -283,9 +283,23 @@ def merge_chunks(chunks: DataFrame) -> DataFrame:
         mtfs: list[int] = []
         df = 0
         prev_last = 0
-        for r in pdf.itertuples(index=False):
+        for i, r in enumerate(pdf.itertuples(index=False)):
             pay = bytes(r.payload)
             first_doc = int(r.first_doc_id)
+            # first chunk: prev_last==0 is the delta-chain base and
+            # doc_id 0 legitimately encodes as gap 0
+            if i > 0 and first_doc <= prev_last:
+                # chunk doc ranges MUST be disjoint and increasing
+                # (violated e.g. by compacting a delta whose doc_ids
+                # overlap already-indexed docs — a replayed batch).
+                # A negative first gap would vb-encode as a silent
+                # 64-bit wraparound and corrupt the merged list.
+                raise ValueError(
+                    f"overlapping chunk doc ranges for term "
+                    f"{pdf['term'].iloc[0]!r}: chunk starting at doc "
+                    f"{first_doc} begins at or before the previous "
+                    f"chunk's last doc {prev_last}"
+                )
             old_len = int(vb_byte_lengths(np.array([first_doc]))[0])
             patched = vb_encode(np.array([first_doc - prev_last], dtype=np.int64))
             pay = patched + pay[old_len:]
@@ -327,7 +341,9 @@ def compact_chunks(
     The delta is chunk-encoded on its own (same operator), unioned with
     the old chunks, and the result is a valid INDEX_CHUNK table:
     per-term chunk doc ranges stay disjoint because delta ids are
-    beyond the old maximum, and merge_chunks orders by first_doc_id, so
+    beyond the old maximum (a violation — e.g. a replayed micro-batch —
+    fails fast in merge_chunks' overlap guard instead of silently
+    corrupting the gap encoding), and merge_chunks orders by first_doc_id, so
     ``merge_chunks(compact_chunks(...))`` decodes identically to a full
     rebuild over the unioned corpus (tested).  This is the batch
     compaction step the streaming ingest path (streaming/ingest.py)

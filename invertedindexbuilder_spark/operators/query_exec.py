@@ -64,6 +64,30 @@ def _key_weights(terms: list[str], strict: bool) -> dict[str, int]:
     return keys
 
 
+def _match_keys(
+    df: DataFrame, weights: dict[str, int], strict: bool
+) -> DataFrame:
+    """Shared Q2/D5 key matching over any term-keyed table (merged
+    index rows or chunk rows): broadcast the (key, weight) pairs; in
+    strict mode push term-range predicates (key..key+0x7f) into the
+    scan and join on the 14-byte prefix.  Encoded ONCE so the merged
+    and chunked serving paths cannot diverge on lexicon semantics."""
+    spark = df.sparkSession
+    keys_df = spark.createDataFrame(
+        list(weights.items()), schema="key string, weight int"
+    )
+    if not strict:
+        return df.join(F.broadcast(keys_df), F.col("term") == F.col("key"))
+    prune = None
+    for k in weights:
+        cond = F.col("term").between(F.lit(k), F.lit(k + "\x7f"))
+        prune = cond if prune is None else (prune | cond)
+    return df.filter(prune).join(
+        F.broadcast(keys_df),
+        F.substring(F.col("term"), 1, LEXICON_KEY_LEN) == F.col("key"),
+    )
+
+
 def lookup_index_rows(
     index: DataFrame, terms: list[str], strict: bool = True
 ) -> DataFrame:
@@ -73,34 +97,19 @@ def lookup_index_rows(
     strict mode the byte-wise LAST matching term wins, replicating the
     reference's overwrite-on-load collision policy).
     """
-    spark = index.sparkSession
     weights = _key_weights(terms, strict)
     if not weights:
         return index.limit(0).withColumn("key", F.lit("")).withColumn(
             "weight", F.lit(0)
         )
-    keys_df = spark.createDataFrame(
-        list(weights.items()), schema="key string, weight int"
-    )
+    matched = _match_keys(index, weights, strict)
     if strict:
-        # range predicates (term between key and key+0x7f) reach the
-        # parquet scan; the prefix-equality join itself is a broadcast.
-        prune = None
-        for k in weights:
-            cond = F.col("term").between(F.lit(k), F.lit(k + "\x7f"))
-            prune = cond if prune is None else (prune | cond)
-        matched = index.filter(prune).join(
-            F.broadcast(keys_df),
-            F.substring(F.col("term"), 1, LEXICON_KEY_LEN) == F.col("key"),
-        )
         # collision winner (last term in order, D5) via a tiny agg +
         # broadcast join back — a row_number window here would EXCHANGE
         # the matched rows incl. their payloads (GBs for a stopword
         # term) just to rank a handful of collision candidates.
         winner = matched.groupBy("key").agg(F.max("term").alias("term"))
         matched = matched.join(F.broadcast(winner), ["key", "term"])
-    else:
-        matched = index.join(F.broadcast(keys_df), F.col("term") == F.col("key"))
     return matched
 
 
@@ -230,15 +239,15 @@ def lookup_chunk_rows(
 ) -> DataFrame:
     """Match query terms against the CHUNKED index (INDEX_CHUNK).
 
-    Same lexicon semantics as :func:`lookup_index_rows` (strict 14-byte
-    keys, last term in order wins), but a matched term keeps ALL its
-    chunk rows.  The per-key winner and the full-term df are computed
-    as TINY aggregates and broadcast-joined back — NOT window functions,
-    which would exchange every chunk of a term into one partition and
-    re-serialize the heavy-term decode this layout exists to spread
-    (pinned by test_chunk_rows_decode_in_multiple_tasks).
+    Same lexicon semantics as :func:`lookup_index_rows` (the shared
+    :func:`_match_keys` does the strict 14-byte matching for both
+    paths), but a matched term keeps ALL its chunk rows.  The per-key
+    winner and the full-term df are computed as TINY aggregates and
+    broadcast-joined back — NOT window functions, which would exchange
+    every chunk of a term into one partition and re-serialize the
+    heavy-term decode this layout exists to spread (pinned by
+    test_chunk_rows_decode_in_multiple_tasks).
     """
-    spark = chunks.sparkSession
     weights = _key_weights(terms, strict)
     if not weights:
         return (
@@ -247,20 +256,7 @@ def lookup_chunk_rows(
             .withColumn("weight", F.lit(0))
             .withColumn("term_df", F.lit(0).cast("long"))
         )
-    keys_df = spark.createDataFrame(
-        list(weights.items()), schema="key string, weight int"
-    )
-    if strict:
-        prune = None
-        for kk in weights:
-            cond = F.col("term").between(F.lit(kk), F.lit(kk + "\x7f"))
-            prune = cond if prune is None else (prune | cond)
-        matched = chunks.filter(prune).join(
-            F.broadcast(keys_df),
-            F.substring(F.col("term"), 1, LEXICON_KEY_LEN) == F.col("key"),
-        )
-    else:
-        matched = chunks.join(F.broadcast(keys_df), F.col("term") == F.col("key"))
+    matched = _match_keys(chunks, weights, strict)
     # ONE tiny aggregate over the pruned chunk metadata computes both
     # the full-term df and the last-in-term-order collision winner (D5):
     # per_term has O(#keys x collision-set) rows, so the row_number

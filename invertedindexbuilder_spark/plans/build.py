@@ -28,9 +28,9 @@ from pyspark.sql import functions as F
 from invertedindexbuilder_spark.catalog import Catalog
 from invertedindexbuilder_spark.operators.docids import (
     SORT_KEYS,
+    CacheScope,
     attach_doc_ids,
     doc_id_map,
-    release_caches,
 )
 from invertedindexbuilder_spark.operators.index_build import (
     encode_chunks,
@@ -81,7 +81,9 @@ def _fingerprint(df: DataFrame, keys: list[str]) -> str:
     return f"n={agg['n']},h={agg['h']}"
 
 
-def prepare_docs(docs_src: DataFrame) -> DataFrame:
+def prepare_docs(
+    docs_src: DataFrame, cache_scope: CacheScope | None = None
+) -> DataFrame:
     """docs_src -> docs METADATA table: deterministic doc_id,
     synthesized url, the reference's doc_len = len(url) + 1 +
     len(content) (size_of_doc, main.c:274), sha256(content) per-row
@@ -95,7 +97,7 @@ def prepare_docs(docs_src: DataFrame) -> DataFrame:
     # synthesized urls always do (FIXTURES.md), so this is a no-op
     # here, but the operator is in the plan for parity.
     filtered = with_url(docs_src).filter(F.col("url").startswith("h")).drop("url")
-    ids, total = doc_id_map(filtered)
+    ids, total = doc_id_map(filtered, cache_scope=cache_scope)
     full = attach_doc_ids(filtered, ids, total)
     return with_url(full).select(
         "doc_id",
@@ -148,8 +150,9 @@ def build(
         fp = _fingerprint(docs_src, ["repo", "path", "commit"])
         resume_docs = manifest.phase_done("docs", fp)
     if not resume_docs:
-        cat.write(prepare_docs(docs_src), "docs")
-        release_caches()  # docs table is durable; drop the id-map cache
+        scope = CacheScope()
+        cat.write(prepare_docs(docs_src, cache_scope=scope), "docs")
+        scope.release()  # docs table is durable; drop THIS build's cache
         agg = docs_fp(cat.read("docs"))
         fp = f"n={agg['n']},h={agg['h']}"
         manifest.record(

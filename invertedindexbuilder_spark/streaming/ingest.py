@@ -105,7 +105,9 @@ def streaming_first_seen(docs_stream: DataFrame) -> DataFrame:
                     "repo": [first_row["repo"]],
                     "path": [first_row["path"]],
                     "commit": [first_row["commit"]],
-                    "n_dups_so_far": [n_new],
+                    # duplicates BESIDE the emitted first occurrence;
+                    # later-batch dups only mutate state (emit-once)
+                    "n_dups_so_far": [n_new - 1],
                 }
             )
 

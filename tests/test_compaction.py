@@ -81,6 +81,24 @@ def test_compacted_decodes_like_full_rebuild(frames):
         assert comp[term]["df"] == full[term]["df"]
 
 
+def test_overlapping_delta_fails_fast(spark, frames):
+    """A delta whose doc_ids overlap already-indexed docs (e.g. a
+    replayed micro-batch) must raise, not silently corrupt the gap
+    encoding with a negative first gap."""
+    old = spark.createDataFrame(
+        _postings_rows(0, N_OLD), "term string, doc_id long, tf long"
+    )
+    old_chunks = encode_chunks(old, salt_threshold=64, chunk_blocks=1)
+    replay = spark.createDataFrame(
+        _postings_rows(N_OLD - 50, N_OLD), "term string, doc_id long, tf long"
+    )
+    bad = merge_chunks(
+        compact_chunks(old_chunks, replay, salt_threshold=64, chunk_blocks=1)
+    )
+    with pytest.raises(Exception, match="overlapping chunk doc ranges"):
+        bad.collect()
+
+
 def test_compacted_serves_identical_queries(spark, frames):
     docs = spark.range(N_ALL).select(
         F.col("id").alias("doc_id"),

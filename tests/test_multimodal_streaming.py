@@ -103,12 +103,14 @@ def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
             "overwrite"
         ).parquet(str(src_dir / name))
 
-    # batch 1: docs 0,1,2 ; batch 2: dup of doc 1 (new path, same
-    # content) + new docs 3,4
+    # batch 1: docs 0,1,2 plus a SAME-batch dup of doc 0; batch 2: a
+    # cross-batch dup of doc 1 (new path, same content) + new docs 3,4
     r = [row.asDict() for row in base]
+    dup0 = dict(r[0])
+    dup0["path"] = "copy/" + dup0["path"]
     dup = dict(r[1])
     dup["path"] = "copy/" + dup["path"]
-    write_drop("d1", [r[0], r[1], r[2]])
+    write_drop("d1", [r[0], dup0, r[1], r[2]])
     write_drop("d2", [dup, r[3], r[4]])
 
     stream = (
@@ -137,8 +139,16 @@ def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
     # of its two paths arrived in the earlier micro-batch
     import hashlib
 
-    dup_sha = hashlib.sha256((r[1]["content"] or "").encode()).hexdigest()
+    def sha(row):
+        return hashlib.sha256((row["content"] or "").encode()).hexdigest()
+
+    dup_sha = sha(r[1])
     assert by_sha[dup_sha]["path"] in (r[1]["path"], dup["path"])
+    # duplicate counters: the same-batch dup of doc 0 is counted at
+    # emit time; the cross-batch dup of doc 1 only mutates state
+    assert by_sha[sha(r[0])]["n_dups_so_far"] == 1
+    for row in (r[2], r[3], r[4]):
+        assert by_sha[sha(row)]["n_dups_so_far"] == 0
 
 
 def test_windowed_event_counts_with_watermark(spark, tmp_path):
