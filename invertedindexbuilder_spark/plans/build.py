@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -296,3 +297,128 @@ def build(
 def load_stats(spark: SparkSession, out_root: str) -> dict:
     row = Catalog(spark, out_root).read("stats").collect()[0]
     return row.asDict()
+
+
+def compact(
+    spark: SparkSession,
+    delta_src: DataFrame,
+    out_root: str,
+    salt_threshold: int | None = None,
+    chunk_blocks: int | None = None,
+    tokenizer: str = "jvm",
+    num_partitions: int | None = None,
+    validate: bool = True,
+) -> dict:
+    """Fold a DELTA corpus (new files only) into an existing build made
+    with ``write_chunks=True`` — old postings are never re-tokenized or
+    re-encoded (operators/index_build.compact_chunks); only the delta
+    is, plus an O(index-size) rewrite of the two index tables and an
+    append to the docs table.
+
+    Delta doc_ids continue after the old maximum in delta-key order —
+    arrival order, exactly how the reference numbers appended input
+    files (main.c doc counter); already-assigned ids are immutable.
+    ``validate`` semi-joins the delta keys against the docs table and
+    raises on replays/overlaps (which would otherwise also fail fast in
+    merge_chunks' overlap guard, but with a less helpful message).
+    """
+    from invertedindexbuilder_spark.operators.index_build import (
+        compact_chunks,
+        merge_chunks,
+    )
+
+    cat = Catalog(spark, out_root)
+    manifest = BuildManifest(out_root)
+    if not cat.exists("index_chunks"):
+        raise ValueError(
+            "compact requires an existing build made with write_chunks=True "
+            f"(no index_chunks table under {out_root})"
+        )
+    stats = load_stats(spark, out_root)
+    n_old = int(stats["n_docs"])
+
+    t0 = time.time()
+    if validate:
+        dup = (
+            delta_src.select(*SORT_KEYS)
+            .join(cat.read("docs").select(*SORT_KEYS), SORT_KEYS, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "delta contains keys already present in the docs table "
+                "(replayed or overlapping delta)"
+            )
+
+    # ---- docs: append delta rows with ids continuing after n_old ----
+    scope = CacheScope()
+    delta_docs = prepare_docs(delta_src, cache_scope=scope).withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(n_old)).cast("long")
+    )
+    cat.write(delta_docs, "docs", mode="append")
+    scope.release()
+    docs_tbl = cat.read("docs")
+    dagg = docs_tbl.filter(F.col("doc_id") >= n_old).agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("sdl")
+    ).collect()[0]
+    n_delta, sdl_delta = int(dagg["n"]), int(dagg["sdl"])
+
+    # ---- delta postings (same tokenize path as build) ----
+    min_par = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    delta_tok = attach_doc_ids(
+        delta_src.select(*SORT_KEYS, "content"),
+        docs_tbl.filter(F.col("doc_id") >= n_old).select(*SORT_KEYS, "doc_id"),
+        n_delta,
+    ).select("doc_id", "content")
+    if delta_tok.rdd.getNumPartitions() < min_par:
+        delta_tok = delta_tok.repartition(min_par)
+    tokenize = build_postings_jvm if tokenizer == "jvm" else build_postings
+    postings = tokenize(delta_tok)
+
+    # ---- chunks: old pass through untouched; write-to-new then swap
+    # (Spark cannot overwrite a parquet path it is lazily reading) ----
+    new_chunks = compact_chunks(
+        cat.read("index_chunks"),
+        postings,
+        num_partitions=num_partitions,
+        salt_threshold=salt_threshold,
+        chunk_blocks=chunk_blocks,
+    )
+    cat.write(new_chunks, "index_chunks_new")
+    cat.write(merge_chunks(cat.read("index_chunks_new")), "index_new")
+    for name in ("index_chunks", "index"):
+        shutil.rmtree(cat.path(name), ignore_errors=True)
+        os.replace(cat.path(name + "_new"), cat.path(name))
+
+    # ---- stats + manifest ----
+    m = cat.read("index").agg(
+        F.count("*").alias("terms"), F.sum("df").alias("postings")
+    ).collect()[0]
+    stats_df = spark.createDataFrame(
+        [
+            (
+                n_old + n_delta,
+                int(stats["sum_doc_len"]) + sdl_delta,
+                int(m["terms"]),
+                int(m["postings"]),
+            )
+        ],
+        schema="n_docs long, sum_doc_len long, n_terms long, n_postings long",
+    )
+    cat.write(stats_df, "stats")
+    fp = _fingerprint(docs_tbl, SORT_KEYS)
+    manifest.record(
+        "compact",
+        fp,
+        {
+            "delta_rows": n_delta,
+            "n_docs": n_old + n_delta,
+            "terms": int(m["terms"]),
+            "postings": int(m["postings"]),
+            "wall_s": round(time.time() - t0, 3),
+        },
+    )
+    return manifest.data

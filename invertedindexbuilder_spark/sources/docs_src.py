@@ -99,9 +99,13 @@ def synthetic_docs_src(
     seed: int = 42,
     num_partitions: int | None = None,
     token_range: tuple[int, int] = (5, 401),
+    start: int = 0,
 ) -> DataFrame:
     """token_range (5, 401) is the FIXTURES.md contract (oracle corpora
-    must keep it); bench corpora may pass a source-file-sized range."""
+    must keep it); bench corpora may pass a source-file-sized range.
+    ``start`` shifts the row-index range — rows [start, start+n_docs)
+    — so a compaction DELTA corpus is generated disjoint from (and
+    identical to the corresponding slice of) a bigger corpus."""
     if num_partitions is None:
         num_partitions = max(1, min(64, n_docs // 2000 + 1))
 
@@ -111,7 +115,7 @@ def synthetic_docs_src(
                 yield _gen_rows(pdf["id"].values, seed, token_range)
 
     return (
-        spark.range(0, n_docs, numPartitions=num_partitions)
+        spark.range(start, start + n_docs, numPartitions=num_partitions)
         .mapInPandas(gen, schema=DOCS_SRC)
     )
 

@@ -36,6 +36,14 @@ def main() -> int:
                     help="also persist the chunked serving table "
                          "(index_chunks) for topk_bm25_chunked / "
                          "query_cli --chunked")
+    ap.add_argument("--compact", action="store_true",
+                    help="treat the input as a DELTA of new files and "
+                         "fold it into the existing build at --out "
+                         "(requires a prior --write-chunks build); old "
+                         "postings are never re-tokenized or re-encoded")
+    ap.add_argument("--synthetic-start", type=int, default=0,
+                    help="with --synthetic: generate rows "
+                         "[start, start+N) (disjoint delta corpora)")
     ap.add_argument("--sample-fraction", type=float, default=None,
                     help="index only a deterministic fraction of docs "
                          "(reference -p flag analog, S4)")
@@ -66,7 +74,7 @@ def main() -> int:
     from invertedindexbuilder_spark.sources.docs_src import synthetic_docs_src
 
     if args.synthetic:
-        src = synthetic_docs_src(spark, args.synthetic)
+        src = synthetic_docs_src(spark, args.synthetic, start=args.synthetic_start)
     elif args.input:
         src = spark.read.parquet(args.input)
     else:
@@ -96,6 +104,33 @@ def main() -> int:
         build_postings(warm).groupBy("term").count().count()
 
     t0 = time.time()
+    if args.compact:
+        from invertedindexbuilder_spark.plans.build import compact
+
+        manifest = compact(
+            spark,
+            src,
+            args.out,
+            salt_threshold=args.salt_threshold,
+            chunk_blocks=args.chunk_blocks,
+            tokenizer=args.tokenizer,
+        )
+        wall = time.time() - t0
+        ph = manifest["phases"]["compact"]
+        print(
+            json.dumps(
+                {
+                    "delta_docs": ph["delta_rows"],
+                    "docs": ph["n_docs"],
+                    "terms": ph["terms"],
+                    "postings": ph["postings"],
+                    "wall_s": round(wall, 2),
+                    "delta_docs_per_sec": round(ph["delta_rows"] / wall, 1),
+                }
+            )
+        )
+        spark.stop()
+        return 0
     manifest = build(
         spark,
         src,

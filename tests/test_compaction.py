@@ -99,6 +99,58 @@ def test_overlapping_delta_fails_fast(spark, frames):
         bad.collect()
 
 
+def test_plan_compact_matches_full_rebuild(spark, tmp_path):
+    """End-to-end plan: build 300 docs, compact 100 more in, compare
+    against a clean 400-doc build.  Doc ids may differ (compaction uses
+    arrival order), so identity is checked on id-invariant artifacts:
+    term stats, corpus stats, and (url, score) query results."""
+    from invertedindexbuilder_spark.catalog import Catalog
+    from invertedindexbuilder_spark.plans.build import (
+        build,
+        compact,
+        load_stats,
+    )
+    from invertedindexbuilder_spark.sources.docs_src import synthetic_docs_src
+
+    root_c = str(tmp_path / "compacted")
+    root_f = str(tmp_path / "full")
+    build(spark, synthetic_docs_src(spark, 300), root_c, write_chunks=True)
+    compact(spark, synthetic_docs_src(spark, 100, start=300), root_c)
+    build(spark, synthetic_docs_src(spark, 400), root_f, write_chunks=True)
+
+    cc, cf = Catalog(spark, root_c), Catalog(spark, root_f)
+    a = {r["term"]: r["df"] for r in cc.read("index").select("term", "df").collect()}
+    b = {r["term"]: r["df"] for r in cf.read("index").select("term", "df").collect()}
+    assert a == b
+    ids = sorted(r["doc_id"] for r in cc.read("docs").select("doc_id").collect())
+    assert ids == list(range(400))
+    assert load_stats(spark, root_c) == load_stats(spark, root_f)
+
+    def results(root):
+        cat = Catalog(spark, root)
+        docs = cat.read("docs")
+        out = topk_bm25(
+            spark,
+            cat.read("index"),
+            docs.select("doc_id", "doc_len"),
+            load_stats(spark, root),
+            "alpha beta",
+            mode="and",
+            k=100_000,
+            round_digits=6,
+        )
+        return sorted(
+            (r["url"], r["score"])
+            for r in out.join(docs.select("doc_id", "url"), "doc_id").collect()
+        )
+
+    assert results(root_c) == results(root_f)
+
+    # replaying the same delta must be rejected
+    with pytest.raises(ValueError, match="replayed or overlapping"):
+        compact(spark, synthetic_docs_src(spark, 100, start=300), root_c)
+
+
 def test_compacted_serves_identical_queries(spark, frames):
     docs = spark.range(N_ALL).select(
         F.col("id").alias("doc_id"),
