@@ -38,7 +38,12 @@ class Catalog:
                 from pyspark.sql import functions as F
 
                 writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
-            writer.createOrReplace()
+            # honor the mode: compaction APPENDS to the docs table —
+            # createOrReplace here would silently drop the old corpus
+            if mode == "append":
+                writer.append()
+            else:
+                writer.createOrReplace()
             return
         w = df.write.mode(mode)
         if partition_by:

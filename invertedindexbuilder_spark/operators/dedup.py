@@ -85,7 +85,10 @@ def _spread(docs: DataFrame) -> DataFrame:
     run).  Partition counts can't see that skew, so the rule is by
     Catalyst's size estimate: small inputs always repartition (the
     shuffle is trivially cheap there); large inputs trust their split
-    layout, which on a real multi-split corpus is already balanced."""
+    layout, which on a real multi-split corpus is already balanced.
+    Residual gap: a >limit-sized UNION with one dominant leg keeps its
+    skew — detecting that needs a row-count pass costing more than it
+    saves; callers building such unions should repartition explicitly."""
     spark = docs.sparkSession
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     try:

@@ -318,9 +318,18 @@ def compact(
     Delta doc_ids continue after the old maximum in delta-key order —
     arrival order, exactly how the reference numbers appended input
     files (main.c doc counter); already-assigned ids are immutable.
-    ``validate`` semi-joins the delta keys against the docs table and
-    raises on replays/overlaps (which would otherwise also fail fast in
-    merge_chunks' overlap guard, but with a less helpful message).
+    ``validate`` raises on replayed deltas (keys already in the docs
+    table), duplicate keys WITHIN the delta, and orphan doc rows left
+    by a previously failed compact — each of which would otherwise
+    corrupt silently (duplicate doc_ids fan out the doc_len join).
+
+    Durability: the index tables are rewritten to ``*_new`` paths first
+    and then swapped with two back-to-back renames — a small crash
+    window where the two tables come from different generations exists
+    on the plain-parquet backend (documented in BENCH/SCALE.md); the
+    Iceberg backend's createOrReplace is snapshot-atomic per table.
+    A failure BEFORE the swap leaves the old index fully intact but may
+    leave appended orphan docs rows, which the next compact detects.
     """
     from invertedindexbuilder_spark.operators.index_build import (
         compact_chunks,
@@ -339,6 +348,17 @@ def compact(
 
     t0 = time.time()
     if validate:
+        if (
+            cat.read("docs")
+            .filter(F.col("doc_id") >= n_old)
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                f"docs table contains rows with doc_id >= n_docs={n_old}: "
+                "orphans from a previously failed compact — restore the "
+                "docs table (or fix stats) before compacting again"
+            )
         dup = (
             delta_src.select(*SORT_KEYS)
             .join(cat.read("docs").select(*SORT_KEYS), SORT_KEYS, "left_semi")
@@ -349,6 +369,17 @@ def compact(
             raise ValueError(
                 "delta contains keys already present in the docs table "
                 "(replayed or overlapping delta)"
+            )
+        if (
+            delta_src.groupBy(*SORT_KEYS)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                "delta contains duplicate (repo, path, commit) keys — "
+                "the id-map join would fan out and double-count postings"
             )
 
     # ---- docs: append delta rows with ids continuing after n_old ----
@@ -362,7 +393,12 @@ def compact(
     dagg = docs_tbl.filter(F.col("doc_id") >= n_old).agg(
         F.count("*").alias("n"), F.sum("doc_len").alias("sdl")
     ).collect()[0]
-    n_delta, sdl_delta = int(dagg["n"]), int(dagg["sdl"])
+    n_delta = int(dagg["n"])
+    if n_delta == 0:
+        # empty delta (or everything url-filtered): nothing appended,
+        # nothing to rewrite — a clean no-op
+        return manifest.data
+    sdl_delta = int(dagg["sdl"])
 
     # ---- delta postings (same tokenize path as build) ----
     min_par = num_partitions or int(
@@ -376,7 +412,10 @@ def compact(
     if delta_tok.rdd.getNumPartitions() < min_par:
         delta_tok = delta_tok.repartition(min_par)
     tokenize = build_postings_jvm if tokenizer == "jvm" else build_postings
-    postings = tokenize(delta_tok)
+    # persist: with adaptive salting, compact_chunks runs two skew-
+    # detection collects before the encode shuffle — unpersisted, each
+    # would re-execute the delta tokenize
+    postings = tokenize(delta_tok).persist()
 
     # ---- chunks: old pass through untouched; write-to-new then swap
     # (Spark cannot overwrite a parquet path it is lazily reading) ----
@@ -388,6 +427,7 @@ def compact(
         chunk_blocks=chunk_blocks,
     )
     cat.write(new_chunks, "index_chunks_new")
+    postings.unpersist()
     cat.write(merge_chunks(cat.read("index_chunks_new")), "index_new")
     for name in ("index_chunks", "index"):
         shutil.rmtree(cat.path(name), ignore_errors=True)

@@ -149,6 +149,23 @@ def test_plan_compact_matches_full_rebuild(spark, tmp_path):
     # replaying the same delta must be rejected
     with pytest.raises(ValueError, match="replayed or overlapping"):
         compact(spark, synthetic_docs_src(spark, 100, start=300), root_c)
+    # duplicate keys WITHIN a delta must be rejected (id-map fan-out)
+    fresh = synthetic_docs_src(spark, 10, start=400)
+    with pytest.raises(ValueError, match="duplicate .* keys"):
+        compact(spark, fresh.unionAll(fresh), root_c)
+    # empty delta: clean no-op
+    compact(spark, fresh.limit(0), root_c)
+    assert load_stats(spark, root_c)["n_docs"] == 400
+    # orphan rows from a failed compact must be detected
+    Catalog(spark, root_c).write(
+        cc.read("docs").limit(1).withColumn(
+            "doc_id", F.lit(400).cast("long")
+        ),
+        "docs",
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="orphans"):
+        compact(spark, fresh, root_c)
 
 
 def test_compacted_serves_identical_queries(spark, frames):
