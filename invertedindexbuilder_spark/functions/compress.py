@@ -231,7 +231,9 @@ def decode_blocks_pruned(
     if first >= last_doc_ids.size:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     if max_doc_id is not None:
-        # keep block b iff its exclusive lower bound last[b-1] <= max
+        # keep block b iff its exclusive lower bound last[b-1] < max
+        # (last[b-1] == max means block b holds no doc <= max; side=
+        # 'left' implements exactly that strict comparison)
         stop = int(
             np.searchsorted(last_doc_ids[:-1], max_doc_id, side="left")
         ) + 1

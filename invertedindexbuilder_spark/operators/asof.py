@@ -37,20 +37,23 @@ def asof_join_latest(
     """Left rows + ``out_val`` = max(right_val) of the latest right ts
     <= left ts for the same key.  Left rows with no prior right row are
     DROPPED (inner as-of semantics).  ``keep`` = left columns carried
-    through (default: left_key, left_ts)."""
+    through (default: left_key, left_ts).  ``out_val`` keeps the input
+    column's type (a general-purpose operator must not truncate, e.g.,
+    fractional prices to long)."""
     keep = keep if keep is not None else []
+    val_type = right.schema[right_val].dataType
     l_tagged = left.select(
         F.col(left_key).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_is_left"),
-        F.lit(None).cast("long").alias("_v"),
+        F.lit(None).cast(val_type).alias("_v"),
         *keep,
     )
     r_tagged = (
         right.groupBy(
             F.col(right_key).alias("_k"), F.col(right_ts).alias("_t")
         )
-        .agg(F.max(right_val).cast("long").alias("_v"))
+        .agg(F.max(right_val).alias("_v"))
         .withColumn("_is_left", F.lit(0))
         .select("_k", "_t", "_is_left", "_v", *[F.lit(None).alias(c) for c in keep])
     )

@@ -54,6 +54,12 @@ from invertedindexbuilder_spark.schemas import INDEX, INDEX_CHUNK
 DEFAULT_SALT_THRESHOLD = 1_000_000  # postings per shuffle key before salting
 DEFAULT_CHUNK_BLOCKS = 4096  # blocks per salted chunk (~512k postings)
 MIN_SALT_THRESHOLD = 65_536  # below this a term fits one task comfortably
+# Encoder carry-spill backstop: a (term, salt) run longer than this is
+# flushed in block-aligned pieces (extra chunk rows, same key) instead
+# of accumulating in task memory.  Salting normally keeps runs under
+# ~1M postings; this bounds the damage when sampled skew detection
+# misses a heavy term — the missed key costs straggler time, never OOM.
+SPILL_POSTINGS = 1 << 20
 
 
 def _resolve_from_tdf(
@@ -101,6 +107,30 @@ def resolve_salting(
     )
 
 
+def stripe_sample(docs: DataFrame, sample_docs: int) -> DataFrame:
+    """Deterministic per-split head stripe: the first
+    ``ceil(sample_docs / n_splits)`` rows of EVERY input split.
+
+    Unlike ``limit(sample_docs)`` (which reads a handful of splits and
+    sees only the corpus PREFIX — a term heavy only in the corpus tail,
+    e.g. a license header adopted halfway through a crawl, gets no salt
+    and its full df lands on one shuffle key), every doc range is
+    represented.  Unlike ``sample(fraction)`` or a ``doc_id % k``
+    filter, no split is read past its head: the RDD iterator is
+    pull-based, so ``islice`` stops deserializing after ``per_split``
+    rows per task.  Residual blind spot: a term confined to the
+    interior of single splits can hide, but its df is then bounded by
+    (#occupied splits x split row count), far below any salting
+    threshold at scale — a term heavy enough to need salting spans many
+    splits and appears in their heads."""
+    from itertools import islice
+
+    n_splits = max(1, docs.rdd.getNumPartitions())
+    per_split = max(1, -(-sample_docs // n_splits))
+    rdd = docs.rdd.mapPartitions(lambda it: islice(it, per_split))
+    return docs.sparkSession.createDataFrame(rdd, docs.schema)
+
+
 def resolve_salting_sampled(
     docs: DataFrame,
     num_partitions: int,
@@ -116,28 +146,32 @@ def resolve_salting_sampled(
     estimates suffice — and the full postings never need a second pass
     or a persist, which measured as the index-phase bottleneck.
 
-    Uses ``limit(sample_docs)`` rather than ``sample(fraction)``: a
-    row-level sample still scans every input split, which at low
-    parallelism cost as much as a full tokenize pass.  The limit reads
-    a handful of splits; the resulting term-frequency estimate is
-    biased toward the corpus prefix, which only shifts WHICH terms get
-    salted, never what the index contains."""
+    The sample is a per-split head stripe (:func:`stripe_sample`), so
+    every doc range contributes — tail-localized heavy terms are seen
+    (tests/test_salting.py pins one confined to the last 10% of
+    doc_ids).  The scale factor uses the ACTUAL sampled row count, not
+    the requested one (short splits under-fill their quota)."""
     from invertedindexbuilder_spark.operators.postings import build_postings
 
     if n_docs is None:
         n_docs = docs.count()
     sample_docs = min(sample_docs, n_docs) or 1
-    scale = n_docs / sample_docs
-    # limit() funnels rows into one task — spread the sample tokenize
-    # back out or it costs ~10 s of single-core time
-    sampled = docs.limit(sample_docs).repartition(min(16, max(num_partitions, 1)))
-    sample = build_postings(sampled, content_col)
+    # cache: tiny (<= sample_docs + n_splits rows) and read twice
+    # (count + tokenize); repartition spreads the tokenize off the
+    # handful of source splits the heads came from
+    sampled = stripe_sample(docs, sample_docs).cache()
+    n_sample = sampled.count() or 1
+    scale = n_docs / n_sample
+    spread = sampled.repartition(min(16, max(num_partitions, 1)))
+    sample = build_postings(spread, content_col)
     tdf = sample.groupBy("term").agg(
         (F.count("*") * F.lit(float(scale))).alias("df_est")
     )
-    return _resolve_from_tdf(
+    out = _resolve_from_tdf(
         tdf, "df_est", num_partitions, salt_threshold, chunk_blocks
     )
+    sampled.unpersist()
+    return out
 
 
 def term_document_frequencies(postings: DataFrame) -> DataFrame:
@@ -162,6 +196,7 @@ def encode_chunks(
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     chunk_blocks: int = DEFAULT_CHUNK_BLOCKS,
     heavy: list[str] | None = None,
+    spill_postings: int = SPILL_POSTINGS,
 ) -> DataFrame:
     """postings -> INDEX_CHUNK rows (salt=0 single chunk for light terms)."""
     spark = postings.sparkSession
@@ -203,10 +238,20 @@ def encode_chunks(
             s_last = pdf["salt"].iloc[-1]
             tail = (pdf["term"].values == t_last) & (pdf["salt"].values == s_last)
             cut = len(pdf) - int(tail.sum())
-            carry = pdf.iloc[cut:]
             body = pdf.iloc[:cut]
+            carry = pdf.iloc[cut:]
             if len(body):
                 yield _encode_runs(body)
+            if len(carry) >= spill_postings:
+                # carry-spill: flush the block-aligned prefix of an
+                # oversized run as its own chunk row (same term/salt,
+                # disjoint doc range — merge_chunks orders chunks by
+                # first_doc_id, so multiple rows per key are valid and
+                # block alignment preserves merged byte-identity).
+                flush_n = (len(carry) // BLOCK_SIZE) * BLOCK_SIZE
+                if flush_n:
+                    yield _encode_runs(carry.iloc[:flush_n])
+                    carry = carry.iloc[flush_n:] if flush_n < len(carry) else None
         if carry is not None and len(carry):
             yield _encode_runs(carry)
 

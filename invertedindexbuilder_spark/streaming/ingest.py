@@ -63,9 +63,13 @@ def incremental_postings(
     return writer.start()
 
 
+# n_dups_in_first_batch: duplicates observed ALONGSIDE the emitted first
+# occurrence (same micro-batch only).  The cumulative duplicate count
+# lives in the keyed STATE (n_seen); later-batch duplicates mutate state
+# but are never re-emitted (append output mode emits each key once).
 FIRST_SEEN_OUT = (
     "content_sha256 string, repo string, path string, commit string, "
-    "n_dups_so_far long"
+    "n_dups_in_first_batch long"
 )
 
 
@@ -107,7 +111,7 @@ def streaming_first_seen(docs_stream: DataFrame) -> DataFrame:
                     "commit": [first_row["commit"]],
                     # duplicates BESIDE the emitted first occurrence;
                     # later-batch dups only mutate state (emit-once)
-                    "n_dups_so_far": [n_new - 1],
+                    "n_dups_in_first_batch": [n_new - 1],
                 }
             )
 

@@ -146,9 +146,9 @@ def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
     assert by_sha[dup_sha]["path"] in (r[1]["path"], dup["path"])
     # duplicate counters: the same-batch dup of doc 0 is counted at
     # emit time; the cross-batch dup of doc 1 only mutates state
-    assert by_sha[sha(r[0])]["n_dups_so_far"] == 1
+    assert by_sha[sha(r[0])]["n_dups_in_first_batch"] == 1
     for row in (r[2], r[3], r[4]):
-        assert by_sha[sha(row)]["n_dups_so_far"] == 0
+        assert by_sha[sha(row)]["n_dups_in_first_batch"] == 0
 
 
 def test_windowed_event_counts_with_watermark(spark, tmp_path):
