@@ -7,13 +7,38 @@ none), so the default backend is parquet with identical schemas and the
 same call sites.  Setting ``ICEBERG_CATALOG=<catalog name>`` (with the
 matching ``spark.sql.catalog.*`` configs + runtime jar on the cluster)
 switches every read/write to Iceberg SQL with no code changes.
+
+Generations (parquet backend): a table's PHYSICAL directory may be a
+generation dir (``index.g3``) recorded in ``tables.json`` at the root.
+``publish()`` rewrites that one file with ``os.replace`` — an atomic
+multi-table pointer flip, so a compaction can swap ``index`` and
+``index_chunks`` together and a reader resolving through the catalog
+sees either the old generation of BOTH or the new generation of BOTH,
+never a mix (the Iceberg backend gets per-table snapshot atomicity from
+createOrReplace instead, and needs no pointer file).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+_POINTER_FILE = "tables.json"
+
+
+def resolve_table_path(root: str, name: str) -> str:
+    """Physical path of logical table ``name`` under ``root`` —
+    standalone (no SparkSession) so driver-local readers
+    (operators/local_query.LocalIndex) resolve identically."""
+    ptr = os.path.join(root, _POINTER_FILE)
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            mapping = json.load(f)
+        if name in mapping:
+            return os.path.join(root, mapping[name])
+    return os.path.join(root, name)
 
 
 class Catalog:
@@ -23,7 +48,41 @@ class Catalog:
         self.iceberg = os.environ.get("ICEBERG_CATALOG")
 
     def path(self, name: str) -> str:
-        return os.path.join(self.root, name)
+        return resolve_table_path(self.root, name)
+
+    def mappings(self) -> dict[str, str]:
+        """Current logical-name -> physical-dir pointer map (parquet
+        backend; empty when no generation has ever been published)."""
+        ptr = os.path.join(self.root, _POINTER_FILE)
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                return json.load(f)
+        return {}
+
+    def publish(self, mapping: dict[str, str]) -> list[str]:
+        """Atomically repoint logical names to new physical dirs (one
+        ``os.replace`` of tables.json covers every entry).  Returns the
+        now-orphaned previous physical paths (for best-effort cleanup
+        AFTER the flip — a crash between flip and cleanup leaves only
+        unreferenced garbage, never an inconsistent view)."""
+        ptr = os.path.join(self.root, _POINTER_FILE)
+        current: dict[str, str] = {}
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                current = json.load(f)
+        orphans = []
+        for name, phys in mapping.items():
+            old = current.get(name, name)
+            if old != phys:
+                old_path = os.path.join(self.root, old)
+                if os.path.exists(old_path):
+                    orphans.append(old_path)
+            current[name] = phys
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(current, f, indent=2, sort_keys=True)
+        os.replace(tmp, ptr)
+        return orphans
 
     def write(
         self,

@@ -255,6 +255,42 @@ def decode_blocks_pruned(
     )
 
 
+def decode_blocks_selected(
+    payload: bytes,
+    last_doc_ids: np.ndarray,
+    block_bytes: np.ndarray,
+    block_counts: np.ndarray,
+    keep: np.ndarray,
+    prev_doc_id: int = 0,
+):
+    """Decode an arbitrary SUBSET of blocks (indices ``keep``, sorted)
+    -> concatenated (doc_ids, tfs).  Each block decodes independently:
+    block b's delta-chain base is the stored last_doc_ids[b-1]
+    (``prev_doc_id`` for block 0), so skipped blocks cost zero bytes —
+    the primitive under distributed block-max (BMW-style) pruning.
+    """
+    last_doc_ids = np.asarray(last_doc_ids, dtype=np.int64)
+    block_bytes = np.asarray(block_bytes, dtype=np.int64)
+    block_counts = np.asarray(block_counts, dtype=np.int64)
+    keep = np.asarray(keep, dtype=np.int64)
+    if keep.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(block_bytes)))
+    out_d, out_t = [], []
+    for b in keep.tolist():
+        base = int(last_doc_ids[b - 1]) if b > 0 else prev_doc_id
+        d, t = decode_posting_list(
+            payload[offs[b] : offs[b + 1]],
+            int(block_counts[b]),
+            block_bytes[b : b + 1],
+            prev_doc_id=base,
+            block_counts=block_counts[b : b + 1],
+        )
+        out_d.append(d)
+        out_t.append(t)
+    return np.concatenate(out_d), np.concatenate(out_t)
+
+
 def reference_record_bytes(
     df: int,
     last_doc_ids: np.ndarray,

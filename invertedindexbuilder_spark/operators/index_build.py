@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from invertedindexbuilder_spark import BLOCK_SIZE
@@ -284,12 +284,135 @@ def _encode_runs(body: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def merge_chunks(chunks: DataFrame) -> DataFrame:
+DEFAULT_MERGE_FANIN = 256  # max chunk rows concatenated by one merge task
+
+
+def _merge_sorted_frame(pdf: pd.DataFrame) -> dict:
+    """Merge a first_doc_id-SORTED frame of one term's chunks into a
+    single logical chunk (fields as plain python values).  Shared by the
+    final per-term merge and the partial (tree) level — the first
+    chunk's absolute first gap is kept, every later chunk's is patched
+    to delta-vs-previous-chunk, so the output remains independently
+    decodable and re-mergeable."""
+    if len(pdf) == 1:
+        r = pdf.iloc[0]
+        return {
+            "term": r["term"],
+            "first_doc_id": int(r["first_doc_id"]),
+            "df": int(r["df"]),
+            "last_doc_ids": list(r["last_doc_ids"]),
+            "block_bytes": list(r["block_bytes"]),
+            "block_counts": list(r["block_counts"]),
+            "max_tf": list(r["max_tf"]),
+            "payload": bytes(r["payload"]),
+        }
+    payloads = []
+    last_ids: list[int] = []
+    sizes: list[int] = []
+    counts: list[int] = []
+    mtfs: list[int] = []
+    df = 0
+    prev_last = 0
+    for i, r in enumerate(pdf.itertuples(index=False)):
+        pay = bytes(r.payload)
+        first_doc = int(r.first_doc_id)
+        # first chunk: prev_last==0 is the delta-chain base and
+        # doc_id 0 legitimately encodes as gap 0
+        if i > 0 and first_doc <= prev_last:
+            # chunk doc ranges MUST be disjoint and increasing
+            # (violated e.g. by compacting a delta whose doc_ids
+            # overlap already-indexed docs — a replayed batch).
+            # A negative first gap would vb-encode as a silent
+            # 64-bit wraparound and corrupt the merged list.
+            raise ValueError(
+                f"overlapping chunk doc ranges for term "
+                f"{pdf['term'].iloc[0]!r}: chunk starting at doc "
+                f"{first_doc} begins at or before the previous "
+                f"chunk's last doc {prev_last}"
+            )
+        if i > 0:
+            old_len = int(vb_byte_lengths(np.array([first_doc]))[0])
+            patched = vb_encode(
+                np.array([first_doc - prev_last], dtype=np.int64)
+            )
+            pay = patched + pay[old_len:]
+            bb = [int(x) for x in r.block_bytes]
+            bb[0] += len(patched) - old_len
+        else:
+            bb = [int(x) for x in r.block_bytes]
+        payloads.append(pay)
+        last_ids.extend(int(x) for x in r.last_doc_ids)
+        sizes.extend(bb)
+        counts.extend(int(x) for x in r.block_counts)
+        mtfs.extend(int(x) for x in r.max_tf)
+        df += int(r.df)
+        prev_last = int(r.last_doc_ids[-1])
+    return {
+        "term": pdf["term"].iloc[0],
+        "first_doc_id": int(pdf["first_doc_id"].iloc[0]),
+        "df": df,
+        "last_doc_ids": last_ids,
+        "block_bytes": sizes,
+        "block_counts": counts,
+        "max_tf": mtfs,
+        "payload": b"".join(payloads),
+    }
+
+
+def _partial_merge(chunks: DataFrame, fanin: int) -> DataFrame:
+    """One tree-merge level: per term, rank chunks by first_doc_id and
+    merge each run of ``fanin`` consecutive chunks into one super-chunk
+    (INDEX_CHUNK schema; salt = bucket ordinal).  The ranking window
+    runs over a METADATA-ONLY projection (term, first_doc_id) and is
+    joined back, so payload bytes are never collapsed into a single
+    partition by the window — only the bounded groupBy that follows
+    moves them, and every merge group holds at most ``fanin`` rows."""
+    meta = chunks.select("term", "first_doc_id")
+    w = Window.partitionBy("term").orderBy("first_doc_id")
+    ranked = meta.withColumn(
+        "_bucket", ((F.row_number().over(w) - F.lit(1)) / F.lit(fanin)).cast("int")
+    )
+    tagged = chunks.join(ranked, ["term", "first_doc_id"])
+
+    def partial_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = _merge_sorted_frame(pdf.sort_values("first_doc_id"))
+        return pd.DataFrame(
+            {
+                "term": [m["term"]],
+                "salt": [int(pdf["_bucket"].iloc[0])],
+                "first_doc_id": [m["first_doc_id"]],
+                "df": [m["df"]],
+                "last_doc_ids": [m["last_doc_ids"]],
+                "block_bytes": [m["block_bytes"]],
+                "block_counts": [m["block_counts"]],
+                "max_tf": [m["max_tf"]],
+                "payload": [m["payload"]],
+            }
+        )
+
+    return tagged.groupBy("term", "_bucket").applyInPandas(
+        partial_fn, schema=INDEX_CHUNK
+    )
+
+
+def merge_chunks(chunks: DataFrame, fanin: int | None = None) -> DataFrame:
     """INDEX_CHUNK rows -> one INDEX row per term.
 
     Light terms (the overwhelming majority) pass through 1:1.  Heavy
-    terms concatenate their chunks in salt order, patching each chunk's
-    first gap from absolute to delta-vs-previous-chunk.
+    terms concatenate their chunks in doc-range order, patching each
+    chunk's first gap from absolute to delta-vs-previous-chunk.
+
+    ``fanin`` bounds the ROW COUNT any single merge task concatenates:
+    terms with more than ``fanin`` chunks first go through a tree level
+    (:func:`_partial_merge`) so the final per-term group holds at most
+    ``ceil(n_chunks / fanin)`` super-chunk rows instead of ~10^6 raw
+    chunk rows for a stopword term at 10^12 docs.  (The final merged
+    row still holds the term's whole payload — that is the artifact's
+    definition; builds that don't need reference-parity bytes should
+    skip the merge entirely and serve from chunks: ``plans.build(...,
+    merged=False)``.)  Only terms exceeding ``fanin`` pay the extra
+    shuffle — the tiny count aggregate routes everything else straight
+    to the final merge.
 
     Guaranteed invariant: the merged row DECODES to exactly the
     whole-list postings (block tables are self-describing via
@@ -298,74 +421,39 @@ def merge_chunks(chunks: DataFrame) -> DataFrame:
     BLOCK_SIZE (true for dense every-doc stopword terms, whose
     doc-range chunks hold whole blocks; NOT true for sparse salted
     terms, whose ragged blocks re-segment the per-block gap/tf payload
-    interleave).  Both cases are pinned in tests/test_query_chunked.py.
-    Cheap: the group size is #chunks, not df.
+    interleave).  Both cases are pinned in tests/test_query_chunked.py;
+    tree-merge equivalence in tests/test_tree_merge.py.
     """
+    if fanin is not None and fanin >= 2:
+        counts = chunks.groupBy("term").agg(F.count("*").alias("_nc"))
+        big = [
+            r["term"]
+            for r in counts.filter(F.col("_nc") > fanin).select("term").collect()
+        ]
+        if big:
+            is_big = F.col("term").isin(big)
+            cols = list(INDEX_CHUNK.fieldNames())
+            chunks = (
+                chunks.filter(~is_big)
+                .select(*cols)
+                .unionByName(_partial_merge(chunks.filter(is_big), fanin))
+            )
 
     def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         # order by doc range, not salt: chunks of one term are disjoint
         # doc ranges, and first_doc_id is the correct merge order even
         # when chunks come from different build GENERATIONS (incremental
         # compaction unions old and delta chunks whose salts overlap)
-        pdf = pdf.sort_values("first_doc_id")
-        if len(pdf) == 1:
-            r = pdf.iloc[0]
-            return pd.DataFrame(
-                {
-                    "term": [r["term"]],
-                    "df": [int(r["df"])],
-                    "last_doc_ids": [list(r["last_doc_ids"])],
-                    "block_bytes": [list(r["block_bytes"])],
-                    "block_counts": [list(r["block_counts"])],
-                    "max_tf": [list(r["max_tf"])],
-                    "payload": [bytes(r["payload"])],
-                }
-            )
-        payloads = []
-        last_ids: list[int] = []
-        sizes: list[int] = []
-        counts: list[int] = []
-        mtfs: list[int] = []
-        df = 0
-        prev_last = 0
-        for i, r in enumerate(pdf.itertuples(index=False)):
-            pay = bytes(r.payload)
-            first_doc = int(r.first_doc_id)
-            # first chunk: prev_last==0 is the delta-chain base and
-            # doc_id 0 legitimately encodes as gap 0
-            if i > 0 and first_doc <= prev_last:
-                # chunk doc ranges MUST be disjoint and increasing
-                # (violated e.g. by compacting a delta whose doc_ids
-                # overlap already-indexed docs — a replayed batch).
-                # A negative first gap would vb-encode as a silent
-                # 64-bit wraparound and corrupt the merged list.
-                raise ValueError(
-                    f"overlapping chunk doc ranges for term "
-                    f"{pdf['term'].iloc[0]!r}: chunk starting at doc "
-                    f"{first_doc} begins at or before the previous "
-                    f"chunk's last doc {prev_last}"
-                )
-            old_len = int(vb_byte_lengths(np.array([first_doc]))[0])
-            patched = vb_encode(np.array([first_doc - prev_last], dtype=np.int64))
-            pay = patched + pay[old_len:]
-            bb = [int(x) for x in r.block_bytes]
-            bb[0] += len(patched) - old_len
-            payloads.append(pay)
-            last_ids.extend(int(x) for x in r.last_doc_ids)
-            sizes.extend(bb)
-            counts.extend(int(x) for x in r.block_counts)
-            mtfs.extend(int(x) for x in r.max_tf)
-            df += int(r.df)
-            prev_last = int(r.last_doc_ids[-1])
+        m = _merge_sorted_frame(pdf.sort_values("first_doc_id"))
         return pd.DataFrame(
             {
-                "term": [pdf["term"].iloc[0]],
-                "df": [df],
-                "last_doc_ids": [last_ids],
-                "block_bytes": [sizes],
-                "block_counts": [counts],
-                "max_tf": [mtfs],
-                "payload": [b"".join(payloads)],
+                "term": [m["term"]],
+                "df": [m["df"]],
+                "last_doc_ids": [m["last_doc_ids"]],
+                "block_bytes": [m["block_bytes"]],
+                "block_counts": [m["block_counts"]],
+                "max_tf": [m["max_tf"]],
+                "payload": [m["payload"]],
             }
         )
 

@@ -49,7 +49,13 @@ class LocalIndex:
     """
 
     def __init__(self, index_root: str):
-        t = pq.read_table(f"{index_root}/index")
+        from invertedindexbuilder_spark.catalog import resolve_table_path
+
+        def _p(name: str) -> str:
+            # resolve generation pointers (tables.json) like Catalog does
+            return resolve_table_path(index_root, name)
+
+        t = pq.read_table(_p("index"))
         self.terms: list[str] = t.column("term").to_pylist()
         order = np.argsort(self.terms)
         self.terms = [self.terms[i] for i in order]
@@ -62,12 +68,12 @@ class LocalIndex:
             {k: rows[k][i] for k in rows} | {"term": self.terms[j]}
             for j, i in enumerate(order)
         ]
-        d = pq.read_table(f"{index_root}/docs", columns=["doc_id", "doc_len"])
+        d = pq.read_table(_p("docs"), columns=["doc_id", "doc_len"])
         ids = np.asarray(d.column("doc_id"), dtype=np.int64)
         lens = np.asarray(d.column("doc_len"), dtype=np.int64)
         self.doc_len = np.zeros(int(ids.max()) + 1 if ids.size else 0, np.int64)
         self.doc_len[ids] = lens
-        s = pq.read_table(f"{index_root}/stats").to_pylist()[0]
+        s = pq.read_table(_p("stats")).to_pylist()[0]
         self.n_docs = int(s["n_docs"])
         self.d_avr = float(s["sum_doc_len"]) / (self.n_docs - 1)
         self.min_doc_len = int(lens.min()) if lens.size else 0

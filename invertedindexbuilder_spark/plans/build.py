@@ -34,6 +34,7 @@ from invertedindexbuilder_spark.operators.docids import (
     doc_id_map,
 )
 from invertedindexbuilder_spark.operators.index_build import (
+    DEFAULT_MERGE_FANIN,
     encode_chunks,
     merge_chunks,
     resolve_salting,
@@ -60,17 +61,30 @@ class BuildManifest:
         ph = self.data["phases"].get(name)
         return bool(ph and ph.get("status") == "done" and ph.get("fingerprint") == fingerprint)
 
+    def _flush(self) -> None:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.data, f, indent=2, sort_keys=True)
+        os.replace(tmp, self.path)
+
     def record(self, name: str, fingerprint: str, metrics: dict) -> None:
         self.data["phases"][name] = {
             "status": "done",
             "fingerprint": fingerprint,
             **metrics,
         }
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.data, f, indent=2, sort_keys=True)
-        os.replace(tmp, self.path)
+        self._flush()
+
+    # compaction journal: written BEFORE the docs table is mutated so a
+    # crash leaves an unambiguous breadcrumb of how far the compact got
+    def set_journal(self, stage: str, **info) -> None:
+        self.data["compact_journal"] = {"stage": stage, **info}
+        self._flush()
+
+    def clear_journal(self) -> None:
+        if self.data.pop("compact_journal", None) is not None:
+            self._flush()
 
 
 def _fingerprint(df: DataFrame, keys: list[str]) -> str:
@@ -123,8 +137,20 @@ def build(
     num_partitions: int | None = None,
     tokenizer: str = "jvm",
     write_chunks: bool = False,
+    merged: bool = True,
 ) -> dict:
     """Run (or resume) the full build.  Returns the manifest dict.
+
+    ``merged=False`` skips the one-row-per-term INDEX entirely (implies
+    ``write_chunks``): serving runs from INDEX_CHUNK
+    (query_exec.topk_bm25_chunked), where a heavy term's payload never
+    materializes in one task — at 10^12 docs the merged artifact's
+    worst row is a multi-GB parquet cell, so chunk-only is the default
+    posture at scale; the merged table is the reference-parity artifact
+    for oracle runs.  With ``merged=True`` the per-term assembly is
+    tree-merged (operators.index_build.merge_chunks fanin) so no single
+    task concatenates more than DEFAULT_MERGE_FANIN chunk rows per
+    level.
 
     Job-count discipline (it dominates wall time once stages scale):
     the input is scanned exactly twice on a fresh build (range-partition
@@ -134,6 +160,8 @@ def build(
     input-side fingerprint scan only happens on RESUME, where it is the
     point.
     """
+    if not merged:
+        write_chunks = True
     cat = Catalog(spark, out_root)
     manifest = BuildManifest(out_root)
 
@@ -208,7 +236,8 @@ def build(
 
     # ---- phase 3: index (SORT+MERGE shuffle + FINAL BUILD encode) ----
     t0 = time.time()
-    if not (manifest.phase_done("index", fp) and cat.exists("index")):
+    index_table = "index" if merged else "index_chunks"
+    if not (manifest.phase_done("index", fp) and cat.exists(index_table)):
         if checkpoint_postings:
             # postings are materialized: exact skew detection is cheap
             eff_threshold, eff_chunk_blocks, heavy = resolve_salting(
@@ -235,11 +264,19 @@ def build(
             # reference-parity index FROM it, so encode runs once.
             cat.write(chunks, "index_chunks")
             chunks = cat.read("index_chunks")
-        index = merge_chunks(chunks)
-        cat.write(index, "index")
-        idx = cat.read("index")
+        if merged:
+            index = merge_chunks(chunks, fanin=DEFAULT_MERGE_FANIN)
+            cat.write(index, "index")
+            idx = cat.read("index")
+            terms_expr = F.count("*").alias("terms")
+        else:
+            # chunk-only build: metrics from the chunk table (sum(df)
+            # over chunks is exactly the posting count; a term is
+            # counted once however many chunks it spans)
+            idx = cat.read("index_chunks")
+            terms_expr = F.count_distinct("term").alias("terms")
         m = idx.agg(
-            F.count("*").alias("terms"),
+            terms_expr,
             F.sum("df").alias("postings"),
             F.sum(F.length("payload")).alias("payload_bytes"),
             F.sum(F.size("last_doc_ids")).alias("blocks"),
@@ -255,6 +292,7 @@ def build(
                 "salted_terms": len(heavy),
                 "salt_threshold": eff_threshold,
                 "chunk_blocks": eff_chunk_blocks,
+                "merged": merged,
                 "wall_s": round(time.time() - t0, 3),
             },
         )
@@ -273,8 +311,9 @@ def build(
             ).collect()[0]
             dph = {"rows": d["rows"], "sum_doc_len": d["sum_doc_len"]}
         if "terms" not in iph:
-            i = cat.read("index").agg(
-                F.count("*").alias("terms"), F.sum("df").alias("postings")
+            i = cat.read(index_table).agg(
+                F.count_distinct("term").alias("terms"),
+                F.sum("df").alias("postings"),
             ).collect()[0]
             iph = {"terms": i["terms"], "postings": i["postings"]}
         stats_df = spark.createDataFrame(
@@ -312,8 +351,10 @@ def compact(
     """Fold a DELTA corpus (new files only) into an existing build made
     with ``write_chunks=True`` — old postings are never re-tokenized or
     re-encoded (operators/index_build.compact_chunks); only the delta
-    is, plus an O(index-size) rewrite of the two index tables and an
-    append to the docs table.
+    is, plus an O(index-size) rewrite of the index table(s) and an
+    append to the docs table.  Works against both build layouts: a
+    chunk-only build (``merged=False``) rewrites only ``index_chunks``;
+    a merged build also re-derives ``index``.
 
     Delta doc_ids continue after the old maximum in delta-key order —
     arrival order, exactly how the reference numbers appended input
@@ -323,13 +364,23 @@ def compact(
     by a previously failed compact — each of which would otherwise
     corrupt silently (duplicate doc_ids fan out the doc_len join).
 
-    Durability: the index tables are rewritten to ``*_new`` paths first
-    and then swapped with two back-to-back renames — a small crash
-    window where the two tables come from different generations exists
-    on the plain-parquet backend (documented in BENCH/SCALE.md); the
-    Iceberg backend's createOrReplace is snapshot-atomic per table.
-    A failure BEFORE the swap leaves the old index fully intact but may
-    leave appended orphan docs rows, which the next compact detects.
+    Durability (parquet backend): every rewritten table — index_chunks,
+    index, AND stats — is written to a fresh ``<name>.g<N>`` generation
+    directory and then published with ONE atomic ``os.replace`` of
+    ``tables.json`` (catalog.Catalog.publish).  Readers resolving
+    through the catalog see the old generation of everything or the new
+    generation of everything, never a mix, and never a half-written
+    table.  A crash BEFORE the flip leaves the old view fully intact
+    (plus appended orphan docs rows + unreferenced generation dirs,
+    both detected/cleaned on the next compact); a crash AFTER the flip
+    leaves a fully consistent NEW view with only manifest bookkeeping
+    missing.  The compaction journal in manifest.json records which
+    side of the flip a crash landed on, so the orphan-guard error can
+    name the correct remediation.  On the Iceberg backend each table
+    swap is snapshot-atomic via createOrReplace (REPLACE TABLE commits
+    after the query runs, so reading the table being replaced is safe);
+    cross-table atomicity there is per-table only — the documented
+    tradeoff until a multi-table transaction API lands.
     """
     from invertedindexbuilder_spark.operators.index_build import (
         compact_chunks,
@@ -343,22 +394,35 @@ def compact(
             "compact requires an existing build made with write_chunks=True "
             f"(no index_chunks table under {out_root})"
         )
+    has_merged = cat.exists("index")
     stats = load_stats(spark, out_root)
     n_old = int(stats["n_docs"])
 
     t0 = time.time()
+    journal = manifest.data.get("compact_journal")
     if validate:
-        if (
-            cat.read("docs")
-            .filter(F.col("doc_id") >= n_old)
-            .limit(1)
-            .count()
-        ):
+        orphans_exist = bool(
+            cat.read("docs").filter(F.col("doc_id") >= n_old).limit(1).count()
+        )
+        if orphans_exist:
+            # stats/index/chunks publish atomically TOGETHER (one
+            # tables.json flip), so docs rows beyond stats.n_docs can
+            # only mean a crash BEFORE the flip: the published view
+            # still describes exactly the old corpus.
             raise ValueError(
-                f"docs table contains rows with doc_id >= n_docs={n_old}: "
-                "orphans from a previously failed compact — restore the "
-                "docs table (or fix stats) before compacting again"
+                f"docs table contains orphans (rows with doc_id >= n_docs={n_old}): "
+                "a previous compact appended its delta but crashed before "
+                "publishing the index generation (journal: "
+                f"{journal!r}).  The published index/stats still describe "
+                f"the old corpus — delete docs rows with doc_id >= {n_old} "
+                "and re-run the compact."
             )
+        if journal is not None:
+            # no orphans + journal present: the previous compact
+            # published its generation (docs/index/stats consistent)
+            # and crashed before clearing bookkeeping — safe to clear
+            manifest.clear_journal()
+            journal = None
         dup = (
             delta_src.select(*SORT_KEYS)
             .join(cat.read("docs").select(*SORT_KEYS), SORT_KEYS, "left_semi")
@@ -382,7 +446,21 @@ def compact(
                 "the id-map join would fan out and double-count postings"
             )
 
-    # ---- docs: append delta rows with ids continuing after n_old ----
+    # ---- journal intent, then append delta docs (ids after n_old) ----
+    # the next generation number must never collide with one the LIVE
+    # pointer references (writing into a referenced dir would delete
+    # files readers resolve to), so consult the pointer file as well as
+    # the manifest — the manifest alone can be stale after a crash
+    # between the pointer flip and the bookkeeping flush
+    import re as _re
+
+    referenced = [
+        int(mm.group(1))
+        for v in cat.mappings().values()
+        if (mm := _re.search(r"\.g(\d+)$", v))
+    ]
+    gen = max([int(manifest.data.get("generation", 0)), *referenced, 0]) + 1
+    manifest.set_journal("docs_appended", n_old=n_old, generation=gen)
     scope = CacheScope()
     delta_docs = prepare_docs(delta_src, cache_scope=scope).withColumn(
         "doc_id", (F.col("doc_id") + F.lit(n_old)).cast("long")
@@ -397,6 +475,7 @@ def compact(
     if n_delta == 0:
         # empty delta (or everything url-filtered): nothing appended,
         # nothing to rewrite — a clean no-op
+        manifest.clear_journal()
         return manifest.data
     sdl_delta = int(dagg["sdl"])
 
@@ -417,8 +496,7 @@ def compact(
     # would re-execute the delta tokenize
     postings = tokenize(delta_tok).persist()
 
-    # ---- chunks: old pass through untouched; write-to-new then swap
-    # (Spark cannot overwrite a parquet path it is lazily reading) ----
+    # ---- new generation: old chunks pass through untouched ----
     new_chunks = compact_chunks(
         cat.read("index_chunks"),
         postings,
@@ -426,30 +504,63 @@ def compact(
         salt_threshold=salt_threshold,
         chunk_blocks=chunk_blocks,
     )
-    cat.write(new_chunks, "index_chunks_new")
-    postings.unpersist()
-    cat.write(merge_chunks(cat.read("index_chunks_new")), "index_new")
-    for name in ("index_chunks", "index"):
-        shutil.rmtree(cat.path(name), ignore_errors=True)
-        os.replace(cat.path(name + "_new"), cat.path(name))
 
-    # ---- stats + manifest ----
-    m = cat.read("index").agg(
-        F.count("*").alias("terms"), F.sum("df").alias("postings")
-    ).collect()[0]
-    stats_df = spark.createDataFrame(
-        [
-            (
-                n_old + n_delta,
-                int(stats["sum_doc_len"]) + sdl_delta,
-                int(m["terms"]),
-                int(m["postings"]),
+    if cat.iceberg:
+        # each createOrReplace is snapshot-atomic; REPLACE TABLE runs
+        # the query against the CURRENT snapshot and commits the swap
+        # afterwards, so reading index_chunks while replacing it is safe
+        cat.write(new_chunks, "index_chunks")
+        postings.unpersist()
+        if has_merged:
+            cat.write(
+                merge_chunks(cat.read("index_chunks"), fanin=DEFAULT_MERGE_FANIN),
+                "index",
             )
-        ],
-        schema="n_docs long, sum_doc_len long, n_terms long, n_postings long",
-    )
-    cat.write(stats_df, "stats")
+        chunks_for_stats = cat.read("index_chunks")
+        m = chunks_for_stats.agg(
+            F.count_distinct("term").alias("terms"), F.sum("df").alias("postings")
+        ).collect()[0]
+        _write_stats(
+            spark, cat, n_old + n_delta,
+            int(stats["sum_doc_len"]) + sdl_delta, m,
+        )
+    else:
+        # parquet backend: write EVERY rewritten table into generation
+        # dirs, then flip tables.json once — the only mutation readers
+        # can observe is that single atomic pointer swap
+        chunks_phys = f"index_chunks.g{gen}"
+        cat.write(new_chunks, chunks_phys)
+        postings.unpersist()
+        new_chunks_tbl = spark.read.parquet(cat.path(chunks_phys))
+        publish_map = {"index_chunks": chunks_phys}
+        if has_merged:
+            index_phys = f"index.g{gen}"
+            cat.write(
+                merge_chunks(new_chunks_tbl, fanin=DEFAULT_MERGE_FANIN),
+                index_phys,
+            )
+            publish_map["index"] = index_phys
+        m = new_chunks_tbl.agg(
+            F.count_distinct("term").alias("terms"), F.sum("df").alias("postings")
+        ).collect()[0]
+        stats_phys = f"stats.g{gen}"
+        _write_stats(
+            spark, cat, n_old + n_delta,
+            int(stats["sum_doc_len"]) + sdl_delta, m,
+            table=stats_phys,
+        )
+        orphan_dirs = cat.publish({**publish_map, "stats": stats_phys})
+        # persist the generation counter in the SAME flush as the
+        # post-flip journal stage: a crash right after this line leaves
+        # both facts on disk together
+        manifest.data["generation"] = gen
+        manifest.set_journal("published", n_old=n_old, generation=gen)
+        for d in orphan_dirs:  # best-effort: unreferenced after the flip
+            shutil.rmtree(d, ignore_errors=True)
+
+    # ---- manifest bookkeeping ----
     fp = _fingerprint(docs_tbl, SORT_KEYS)
+    manifest.data["generation"] = gen
     manifest.record(
         "compact",
         fp,
@@ -461,4 +572,20 @@ def compact(
             "wall_s": round(time.time() - t0, 3),
         },
     )
+    manifest.clear_journal()
     return manifest.data
+
+
+def _write_stats(
+    spark: SparkSession,
+    cat: Catalog,
+    n_docs: int,
+    sum_doc_len: int,
+    m,
+    table: str = "stats",
+) -> None:
+    stats_df = spark.createDataFrame(
+        [(n_docs, sum_doc_len, int(m["terms"]), int(m["postings"]))],
+        schema="n_docs long, sum_doc_len long, n_terms long, n_postings long",
+    )
+    cat.write(stats_df, table)

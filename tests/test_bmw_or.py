@@ -1,0 +1,121 @@
+"""Distributed block-max OR pruning: results must be IDENTICAL to the
+unpruned full decode (exactness), and on a selective query against a
+planted stopword the decoded-block count must be a small fraction of
+the total (the pruning actually prunes).  Mirrors the driver-local BMW
+exactness proof in test_local_query.py, set-at-a-time."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from invertedindexbuilder_spark.operators.index_build import (
+    encode_chunks,
+    merge_chunks,
+)
+from invertedindexbuilder_spark.operators.query_exec import (
+    topk_bm25,
+    topk_bm25_chunked,
+)
+
+N = 20_000  # docs; 'common' df=10k (~157 blocks), rare df=100 each
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    rows = []
+    for d in range(N):
+        if d % 2 == 0:
+            rows.append(("common", d, 1 + d % 3))
+        if d % 2 == 1:  # df 10k > HEAVY_QUERY_DF: a second heavy list
+            rows.append(("mid", d, 1))
+        # rare terms clustered in two narrow doc ranges
+        if 3000 <= d < 3100:
+            rows.append(("rareone", d, 2))
+        if 15000 <= d < 15100:
+            rows.append(("raretwo", d, 1))
+    postings = spark.createDataFrame(rows, "term string, doc_id long, tf long")
+    chunks = encode_chunks(postings, salt_threshold=4096, chunk_blocks=8).cache()
+    index = merge_chunks(chunks).cache()
+    docs = spark.range(N).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(100) + F.col("id") % 40).cast("long").alias("doc_len"),
+    ).cache()
+    stats = {
+        "n_docs": N,
+        "sum_doc_len": sum(100 + d % 40 for d in range(N)),
+        "min_doc_len": 100,
+    }
+    return {"chunks": chunks, "index": index, "docs": docs, "stats": stats}
+
+
+def _key(rows):
+    return [(r["doc_id"], r["score"]) for r in rows]
+
+
+@pytest.mark.parametrize("query", ["rareone raretwo common", "rareone common common"])
+def test_or_pruned_equals_full_decode_merged(spark, env, query):
+    counters = {
+        "decoded": spark.sparkContext.accumulator(0),
+        "total": spark.sparkContext.accumulator(0),
+    }
+    pruned = topk_bm25(
+        spark, env["index"], env["docs"], env["stats"], query,
+        mode="or", k=10, round_digits=6, counters=counters,
+    ).collect()
+    full = topk_bm25(
+        spark, env["index"], env["docs"], env["stats"], query,
+        mode="or", k=10, round_digits=6, or_prune=False,
+    ).collect()
+    assert _key(pruned) == _key(full)
+    assert counters["total"].value > 0, "heavy list must hit the BMW path"
+    # the stopword's candidate-free blocks must be skipped: candidates
+    # live in ~2 narrow ranges of the ~157 'common' blocks
+    assert counters["decoded"].value < counters["total"].value / 4
+
+
+def test_or_pruned_equals_full_decode_chunked(spark, env):
+    counters = {
+        "decoded": spark.sparkContext.accumulator(0),
+        "total": spark.sparkContext.accumulator(0),
+    }
+    pruned = topk_bm25_chunked(
+        spark, env["chunks"], env["docs"], env["stats"],
+        "rareone raretwo common", mode="or", k=10, round_digits=6,
+        counters=counters,
+    ).collect()
+    full = topk_bm25_chunked(
+        spark, env["chunks"], env["docs"], env["stats"],
+        "rareone raretwo common", mode="or", k=10, round_digits=6,
+        or_prune=False,
+    ).collect()
+    assert _key(pruned) == _key(full)
+    assert counters["total"].value > 0
+    assert counters["decoded"].value < counters["total"].value / 4
+
+
+def test_or_all_heavy_falls_back_and_matches(spark, env):
+    # no light list -> no theta seed -> fallback full decode (correct)
+    a = topk_bm25(
+        spark, env["index"], env["docs"], env["stats"], "common mid",
+        mode="or", k=10, round_digits=6,
+    ).collect()
+    b = topk_bm25(
+        spark, env["index"], env["docs"], env["stats"], "common mid",
+        mode="or", k=10, round_digits=6, or_prune=False,
+    ).collect()
+    assert _key(a) == _key(b)
+
+
+def test_or_pruned_with_duplicate_query_terms(spark, env):
+    # duplicate light term: weight=2 flows through theta and candidates
+    a = topk_bm25(
+        spark, env["index"], env["docs"], env["stats"],
+        "rareone rareone common", mode="or", k=10, round_digits=6,
+    ).collect()
+    b = topk_bm25(
+        spark, env["index"], env["docs"], env["stats"],
+        "rareone rareone common", mode="or", k=10, round_digits=6,
+        or_prune=False,
+    ).collect()
+    assert _key(a) == _key(b)

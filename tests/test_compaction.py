@@ -192,3 +192,89 @@ def test_compacted_serves_identical_queries(spark, frames):
         key = lambda rows: [(r["doc_id"], r["score"]) for r in rows]
         assert key(a) == key(b) == key(c)
         assert a
+
+
+def test_compact_crash_before_publish_keeps_old_view(spark, tmp_path, monkeypatch):
+    """Kill-between-writes simulation: a crash BEFORE the tables.json
+    flip must leave readers on the old generation of EVERY table
+    (chunks+index+stats publish together), and the next compact's
+    orphan guard must name the pre-publish remediation."""
+    from invertedindexbuilder_spark.catalog import Catalog
+    from invertedindexbuilder_spark.plans.build import build, compact, load_stats
+    from invertedindexbuilder_spark.sources.docs_src import synthetic_docs_src
+
+    root = str(tmp_path / "idx")
+    build(spark, synthetic_docs_src(spark, 300), root, write_chunks=True)
+    cat = Catalog(spark, root)
+    stats_before = load_stats(spark, root)
+    terms_before = {
+        r["term"]: r["df"] for r in cat.read("index").select("term", "df").collect()
+    }
+
+    with monkeypatch.context() as m:
+        def boom(self, mapping):
+            raise RuntimeError("simulated crash before publish")
+
+        m.setattr(Catalog, "publish", boom)
+        with pytest.raises(RuntimeError, match="before publish"):
+            compact(spark, synthetic_docs_src(spark, 100, start=300), root)
+
+    # old view fully intact: generation dirs exist but are unreferenced
+    assert load_stats(spark, root) == stats_before
+    terms_after = {
+        r["term"]: r["df"] for r in cat.read("index").select("term", "df").collect()
+    }
+    assert terms_after == terms_before
+
+    # orphan guard: names the pre-publish state and the docs remediation
+    with pytest.raises(ValueError, match="crashed before publishing"):
+        compact(spark, synthetic_docs_src(spark, 50, start=400), root)
+
+    # remediate exactly as the message says, then the same delta folds in
+    keep = cat.read("docs").filter(F.col("doc_id") < 300).toPandas()
+    cat.write(spark.createDataFrame(keep, cat.read("docs").schema), "docs")
+    compact(spark, synthetic_docs_src(spark, 100, start=300), root)
+    assert load_stats(spark, root)["n_docs"] == 400
+
+
+def test_compact_crash_after_publish_is_consistent(spark, tmp_path, monkeypatch):
+    """A crash AFTER the pointer flip (before manifest bookkeeping)
+    leaves a fully consistent NEW view — docs, index and stats all
+    contain the delta — and the next compact clears the stale journal
+    and proceeds."""
+    from invertedindexbuilder_spark.catalog import Catalog
+    from invertedindexbuilder_spark.plans.build import (
+        BuildManifest,
+        build,
+        compact,
+        load_stats,
+    )
+    from invertedindexbuilder_spark.sources.docs_src import synthetic_docs_src
+
+    root = str(tmp_path / "idx")
+    build(spark, synthetic_docs_src(spark, 300), root, write_chunks=True)
+
+    real_record = BuildManifest.record
+
+    with monkeypatch.context() as m:
+        def crash_on_compact(self, name, fingerprint, metrics):
+            if name == "compact":
+                raise RuntimeError("simulated crash after publish")
+            return real_record(self, name, fingerprint, metrics)
+
+        m.setattr(BuildManifest, "record", crash_on_compact)
+        with pytest.raises(RuntimeError, match="after publish"):
+            compact(spark, synthetic_docs_src(spark, 100, start=300), root)
+
+    # the new generation IS the published view: everything consistent
+    cat = Catalog(spark, root)
+    stats = load_stats(spark, root)
+    assert stats["n_docs"] == 400
+    assert cat.read("docs").count() == 400
+    journal = BuildManifest(root).data.get("compact_journal")
+    assert journal and journal["stage"] == "published"
+
+    # next compact: journal cleared (no orphans), fresh delta folds in
+    compact(spark, synthetic_docs_src(spark, 50, start=400), root)
+    assert load_stats(spark, root)["n_docs"] == 450
+    assert BuildManifest(root).data.get("compact_journal") is None
