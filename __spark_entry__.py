@@ -550,6 +550,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embeddings(spark, sf_dir), query_vec_id=0, k=10, probe_all=False
         )
 
+    def ann_ivf_probe5(spark, sf_dir):
+        # deterministic multi-probe (query cell + its 4 Hamming-1
+        # neighbors): the recall knob, oracle-gated with the identical
+        # 5-cell restriction
+        return ivf_topk(
+            _embeddings(spark, sf_dir), query_vec_id=0, k=10,
+            probe_all=False, n_probes=5,
+        )
+
     def embed_near_dup(spark, sf_dir):
         from invertedindexbuilder_spark.operators.similarity import (
             embedding_near_dup,
@@ -806,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine,
         "ann_ivf_topk": ann_ivf,
         "ann_ivf_probe1": ann_ivf_probe1,
+        "ann_ivf_probe5": ann_ivf_probe5,
         "embed_near_dup": embed_near_dup,
         "fingerprint_winnow": fingerprint_winnow,
         "lineitem_rollup": lineitem_rollup,
@@ -1016,6 +1026,19 @@ def oracle_sql() -> dict[str, str]:
             "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
             ", 6) AS cosine "
             "FROM c e CROSS JOIN q WHERE e.vec_id != 0 AND e.cell = q.qc "
+            "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        "ann_ivf_probe5": (
+            "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+            + _cell_sql("embedding", 4)
+            + " AS cell FROM embeddings), "
+            "q AS (SELECT v AS qv, cell AS qc FROM c WHERE vec_id = 0) "
+            "SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / "
+            "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+            ", 6) AS cosine "
+            "FROM c e CROSS JOIN q WHERE e.vec_id != 0 AND ("
+            "e.cell = q.qc OR e.cell = xor(q.qc, 1) OR e.cell = xor(q.qc, 2) "
+            "OR e.cell = xor(q.qc, 4) OR e.cell = xor(q.qc, 8)) "
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
         ),
         "embed_near_dup": (

@@ -109,6 +109,44 @@ class Catalog:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(name))
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_col: str = "doc_id",
+        n_buckets: int = 32,
+    ) -> None:
+        """Write a table BUCKETED by ``bucket_col`` (hash-clustered
+        files + catalog metadata).  A join keyed on the bucket column
+        then shuffles only the other side — for the docs table this
+        removes the doc_len-join exchange from every query's scoring
+        stage (pinned in tests/test_plan_shape.py).  Bucketing metadata
+        needs a catalog table, so this goes through saveAsTable with an
+        explicit external path under the root (parquet backend) or an
+        Iceberg bucket partition transform."""
+        if self.iceberg:
+            from pyspark.sql import functions as F
+
+            df.writeTo(f"{self.iceberg}.{name}").partitionedBy(
+                F.bucket(n_buckets, bucket_col)
+            ).createOrReplace()
+            return
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", self.path(name))
+            .format("parquet")
+            .saveAsTable(name)
+        )
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        """Read a write_bucketed table WITH its bucketing metadata
+        (spark.read.parquet on the path would lose it)."""
+        if self.iceberg:
+            return self.spark.read.table(f"{self.iceberg}.{name}")
+        return self.spark.table(name)
+
     def read(self, name: str) -> DataFrame:
         if self.iceberg:
             return self.spark.read.table(f"{self.iceberg}.{name}")

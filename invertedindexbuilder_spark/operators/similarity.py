@@ -72,6 +72,16 @@ def grid_cell_expr(vec_col: Column, dims: int = 4) -> Column:
     return cell
 
 
+def probe_ring(cell: int, dims: int, n_probes: int) -> list[int]:
+    """Deterministic multi-probe ring: the query's own cell, then its
+    Hamming-1 neighbors in ascending bit order (the standard LSH
+    multi-probe recall knob — each extra probe flips one sign plane,
+    the nearest cells by boundary distance).  ``n_probes`` caps the
+    ring length (max dims + 1 cells)."""
+    ring = [cell] + [cell ^ (1 << d) for d in range(dims)]
+    return ring[: max(1, n_probes)]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -79,20 +89,24 @@ def ivf_topk(
     dims: int = 4,
     probe_cells: list[int] | None = None,
     probe_all: bool = False,
+    n_probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Bucketed ANN: restrict the scan to probed cells, then exact
-    rerank.  probe_all=True probes every cell (exact; oracle-checkable).
-    At scale the cell column is a partition key of the embeddings
-    table, so probing prunes file listings, not just rows."""
+    rerank.  probe_all=True probes every cell (exact; oracle-checkable);
+    ``n_probes`` > 1 probes the query cell plus its nearest Hamming-1
+    neighbor cells (:func:`probe_ring`) — the recall-vs-scan-fraction
+    knob measured in tests/test_ann_recall.py.  At scale the cell
+    column is a partition key of the embeddings table, so probing
+    prunes file listings, not just rows."""
     with_cell = embeddings.withColumn("_cell", grid_cell_expr(F.col(vec_col), dims))
     if not probe_all:
         if probe_cells is None:
             qcell = with_cell.filter(F.col(id_col) == query_vec_id).select(
                 "_cell"
             ).collect()[0][0]
-            probe_cells = [qcell]
+            probe_cells = probe_ring(int(qcell), dims, n_probes)
         with_cell = with_cell.filter(F.col("_cell").isin(probe_cells))
     return cosine_topk(
         with_cell.drop("_cell"), query_vec_id, k, id_col=id_col, vec_col=vec_col

@@ -347,6 +347,7 @@ def compact(
     tokenizer: str = "jvm",
     num_partitions: int | None = None,
     validate: bool = True,
+    streamed_postings: DataFrame | None = None,
 ) -> dict:
     """Fold a DELTA corpus (new files only) into an existing build made
     with ``write_chunks=True`` — old postings are never re-tokenized or
@@ -363,6 +364,19 @@ def compact(
     table), duplicate keys WITHIN the delta, and orphan doc rows left
     by a previously failed compact — each of which would otherwise
     corrupt silently (duplicate doc_ids fan out the doc_len join).
+
+    ``streamed_postings``: postings already tokenized by the streaming
+    ingest path (streaming/ingest.incremental_postings), keyed by the
+    content-stable hash id ``xxhash64(repo, path, commit)``.  When
+    given, the delta is NOT re-tokenized: the hash ids are remapped to
+    the dense ids just assigned to the delta docs (one join on the
+    delta-sized id map) and the postings fold straight into the chunk
+    compaction — the streaming -> compact -> serve junction.  Rows for
+    docs outside this delta (other batches, url-filtered files) drop
+    out of the inner remap join; replayed SOURCE batches are already
+    rejected by ``validate`` on the docs side.  ``delta_src`` is still
+    required for the docs-table append (doc_len / sha256 / url come
+    from content).
 
     Durability (parquet backend): every rewritten table — index_chunks,
     index, AND stats — is written to a fresh ``<name>.g<N>`` generation
@@ -479,22 +493,42 @@ def compact(
         return manifest.data
     sdl_delta = int(dagg["sdl"])
 
-    # ---- delta postings (same tokenize path as build) ----
+    # ---- delta postings: re-tokenize, or remap the streamed ones ----
     min_par = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    delta_tok = attach_doc_ids(
-        delta_src.select(*SORT_KEYS, "content"),
-        docs_tbl.filter(F.col("doc_id") >= n_old).select(*SORT_KEYS, "doc_id"),
-        n_delta,
-    ).select("doc_id", "content")
-    if delta_tok.rdd.getNumPartitions() < min_par:
-        delta_tok = delta_tok.repartition(min_par)
-    tokenize = build_postings_jvm if tokenizer == "jvm" else build_postings
-    # persist: with adaptive salting, compact_chunks runs two skew-
-    # detection collects before the encode shuffle — unpersisted, each
-    # would re-execute the delta tokenize
-    postings = tokenize(delta_tok).persist()
+    if streamed_postings is not None:
+        # content-stable hash ids -> the dense ids assigned above; the
+        # id map is delta-sized (broadcast under the join threshold)
+        id_map = (
+            docs_tbl.filter(F.col("doc_id") >= n_old)
+            .select(
+                F.xxhash64(*SORT_KEYS).alias("_hid"),
+                F.col("doc_id").alias("_dense_id"),
+            )
+        )
+        postings = (
+            streamed_postings.select("term", "doc_id", "tf")
+            .withColumnRenamed("doc_id", "_hid")
+            .join(id_map, "_hid")
+            .select("term", F.col("_dense_id").alias("doc_id"), "tf")
+            .persist()
+        )
+    else:
+        delta_tok = attach_doc_ids(
+            delta_src.select(*SORT_KEYS, "content"),
+            docs_tbl.filter(F.col("doc_id") >= n_old).select(
+                *SORT_KEYS, "doc_id"
+            ),
+            n_delta,
+        ).select("doc_id", "content")
+        if delta_tok.rdd.getNumPartitions() < min_par:
+            delta_tok = delta_tok.repartition(min_par)
+        tokenize = build_postings_jvm if tokenizer == "jvm" else build_postings
+        # persist: with adaptive salting, compact_chunks runs two skew-
+        # detection collects before the encode shuffle — unpersisted,
+        # each would re-execute the delta tokenize
+        postings = tokenize(delta_tok).persist()
 
     # ---- new generation: old chunks pass through untouched ----
     new_chunks = compact_chunks(

@@ -42,17 +42,22 @@ def test_ivf_recall_vs_scan_fraction(spark, embeddings):
     n_scanned = with_cell.filter(F.col("_c") == qcell).count()
     assert n_scanned < n_total / 4  # single probe really prunes
 
-    def recall(probes):
+    def recall(n_probes):
         got = {
             r["vec_id"]
             for r in ivf_topk(
-                embeddings, query_vec_id=0, k=k, probe_cells=probes
+                embeddings, query_vec_id=0, k=k, n_probes=n_probes
             ).collect()
         }
         return len(exact & got) / k
 
-    r1 = recall([qcell])
-    r5 = recall([qcell, qcell ^ 1, qcell ^ 2, qcell ^ 4, qcell ^ 8])
+    from invertedindexbuilder_spark.operators.similarity import probe_ring
+
+    assert probe_ring(int(qcell), 4, 5) == [
+        qcell, qcell ^ 1, qcell ^ 2, qcell ^ 4, qcell ^ 8
+    ]
+    r1 = recall(1)
+    r5 = recall(5)
     assert r1 >= 0.1  # beats the 1/16 random-cell baseline
     assert r5 >= r1 + 0.2  # multi-probe materially recovers recall
     print(f"recall@{k}: 1 probe={r1:.2f}, 5 probes={r5:.2f}, "

@@ -80,3 +80,37 @@ def test_chunk_lookup_never_exchanges_chunk_rows(tables):
     scans = re.findall(r"FileScan parquet \[[^\]]*\]", plan)
     assert len(scans) == 2
     assert sum("payload#" in s for s in scans) == 1
+
+
+def test_bucketed_docs_join_shuffles_only_the_decoded_side(spark, tmp_path):
+    """SCALE.md's doc_len-join fix: with the docs table BUCKETED by
+    doc_id, the scoring join shuffles only the decoded-postings side —
+    the docs-side exchange disappears from every query."""
+    from invertedindexbuilder_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(100) + F.col("id") % 40).cast("long").alias("doc_len"),
+    )
+    decoded = spark.range(50_000).select(
+        (F.col("id") % 10_000).alias("doc_id"),
+        (F.col("id") % 5 + 1).alias("tf"),
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+        plain = decoded.join(docs, "doc_id")
+        plain.count()
+        base = _shuffle_exchanges(_plan(plain))
+        assert base == 2  # both sides exchange without bucketing
+
+        cat.write_bucketed(docs, "docs_bucketed_test", "doc_id", n_buckets)
+        bucketed = decoded.join(cat.read_bucketed("docs_bucketed_test"), "doc_id")
+        bucketed.count()
+        assert _shuffle_exchanges(_plan(bucketed)) == 1  # decoded side only
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS docs_bucketed_test")
