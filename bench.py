@@ -109,6 +109,42 @@ def main() -> int:
         ).collect()
         timings["bm25_or_chunked"] = time.time() - t0
 
+        # ---- q5b: disjunctive BMW — two rare (light) terms + the ~95%
+        # stopword (heavy, negative IDF): candidate+block-max pruning
+        # skips nearly every stopword block (exactness pinned in
+        # tests/test_bmw_or.py).  or_prune=True forces the pruning path
+        # below its auto threshold (at 100k docs its 2 extra driver
+        # jobs cost more than the skipped decode saves — which is
+        # exactly why the default is "auto", off under 1M docs);
+        # the unpruned variant is timed for the contrast. ----
+        t0 = time.time()
+        topk_bm25_chunked(
+            spark, chunks, docs, stats, "rare0007 rare0123 common",
+            mode="or", k=10, or_prune=True,
+        ).collect()
+        timings["bm25_or_bmw"] = time.time() - t0
+        t0 = time.time()
+        topk_bm25_chunked(
+            spark, chunks, docs, stats, "rare0007 rare0123 common",
+            mode="or", k=10, or_prune=False,
+        ).collect()
+        timings["bm25_or_nobmw"] = time.time() - t0
+
+        # ---- q5c: chunk-only build (merged=False) — the at-scale
+        # default posture: no one-row-per-term assembly at all ----
+        t0 = time.time()
+        out2 = tempfile.mkdtemp(prefix="bench_idx_chunks_")
+        try:
+            build(
+                spark,
+                synthetic_docs_src(spark, bench_docs),
+                out2,
+                merged=False,
+            )
+            timings["build_chunks_only"] = time.time() - t0
+        finally:
+            shutil.rmtree(out2, ignore_errors=True)
+
         # ---- q6: minhash-LSH near-dup over the shared documents table
         # (md5 = oracle-comparable mode; xxhash = production fast path) ----
         t0 = time.time()

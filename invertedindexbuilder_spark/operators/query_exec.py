@@ -64,6 +64,12 @@ HEAVY_QUERY_DF = 8192
 # driver for the pruning pass; above it the OR falls back to full
 # decode (which is correct, just does more IO)
 BMW_CANDIDATE_LIMIT = 200_000
+# or_prune="auto": engage BMW only at corpora where a heavy list is big
+# enough that skipped decode pays for the pruning pass's 2 extra small
+# driver jobs (measured ~1 s of pure job overhead each on local[32]; a
+# sub-1M-doc corpus full-decodes faster than it prunes, a 10^12-doc
+# stopword decodes ~10^10 blocks without it)
+AUTO_OR_PRUNE_MIN_DOCS = 1_000_000
 
 
 def tokenize_query(query: str) -> list[str]:
@@ -383,7 +389,7 @@ def topk_bm25(
     strict: bool = True,
     prune_collect_limit: int = 100_000,
     round_digits: int | None = None,
-    or_prune: bool = True,
+    or_prune: bool | str = "auto",
     heavy_df: int = HEAVY_QUERY_DF,
     cand_limit: int = BMW_CANDIDATE_LIMIT,
     counters: dict | None = None,
@@ -404,6 +410,8 @@ def topk_bm25(
 
     n_docs = int(stats["n_docs"])
     davr = float(stats["sum_doc_len"]) / float(n_docs - 1)  # reference N-1 quirk
+    if or_prune == "auto":
+        or_prune = n_docs >= AUTO_OR_PRUNE_MIN_DOCS
 
     min_doc, max_doc = 0, None
     n_keys = None
@@ -490,7 +498,7 @@ def topk_bm25_chunked(
     strict: bool = True,
     prune_collect_limit: int = 100_000,
     round_digits: int | None = None,
-    or_prune: bool = True,
+    or_prune: bool | str = "auto",
     heavy_df: int = HEAVY_QUERY_DF,
     cand_limit: int = BMW_CANDIDATE_LIMIT,
     counters: dict | None = None,
@@ -511,6 +519,8 @@ def topk_bm25_chunked(
 
     n_docs = int(stats["n_docs"])
     davr = float(stats["sum_doc_len"]) / float(n_docs - 1)
+    if or_prune == "auto":
+        or_prune = n_docs >= AUTO_OR_PRUNE_MIN_DOCS
 
     min_doc, max_doc = 0, None
     n_keys = None

@@ -61,7 +61,7 @@ def test_or_pruned_equals_full_decode_merged(spark, env, query):
     }
     pruned = topk_bm25(
         spark, env["index"], env["docs"], env["stats"], query,
-        mode="or", k=10, round_digits=6, counters=counters,
+        mode="or", k=10, round_digits=6, counters=counters, or_prune=True,
     ).collect()
     full = topk_bm25(
         spark, env["index"], env["docs"], env["stats"], query,
@@ -82,7 +82,7 @@ def test_or_pruned_equals_full_decode_chunked(spark, env):
     pruned = topk_bm25_chunked(
         spark, env["chunks"], env["docs"], env["stats"],
         "rareone raretwo common", mode="or", k=10, round_digits=6,
-        counters=counters,
+        counters=counters, or_prune=True,
     ).collect()
     full = topk_bm25_chunked(
         spark, env["chunks"], env["docs"], env["stats"],
@@ -98,7 +98,7 @@ def test_or_all_heavy_falls_back_and_matches(spark, env):
     # no light list -> no theta seed -> fallback full decode (correct)
     a = topk_bm25(
         spark, env["index"], env["docs"], env["stats"], "common mid",
-        mode="or", k=10, round_digits=6,
+        mode="or", k=10, round_digits=6, or_prune=True,
     ).collect()
     b = topk_bm25(
         spark, env["index"], env["docs"], env["stats"], "common mid",
@@ -112,6 +112,7 @@ def test_or_pruned_with_duplicate_query_terms(spark, env):
     a = topk_bm25(
         spark, env["index"], env["docs"], env["stats"],
         "rareone rareone common", mode="or", k=10, round_digits=6,
+        or_prune=True,
     ).collect()
     b = topk_bm25(
         spark, env["index"], env["docs"], env["stats"],
