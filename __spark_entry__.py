@@ -102,6 +102,23 @@ def _bm25_sql(qterms: list[tuple[str, int]], mode: str, k: int) -> str:
     )
 
 
+def _bm25_batch_sql(
+    queries: list[tuple[int, list[tuple[str, int]]]], mode: str, k: int
+) -> str:
+    """Oracle twin of operators/query_batch.topk_bm25_batch: UNION ALL
+    of the per-query single-query oracle, each re-ranked with the same
+    (score DESC, doc_id) policy."""
+    parts = []
+    for qid, qterms in queries:
+        inner = _bm25_sql(qterms, mode, k)
+        parts.append(
+            f"SELECT {qid}::BIGINT AS query_id, doc_id, score, "
+            "(row_number() OVER (ORDER BY score DESC, doc_id))::INT AS rank "
+            f"FROM ({inner})"
+        )
+    return " UNION ALL ".join(parts)
+
+
 # The dedup corpus: documents plus deterministic exact copies
 # (doc_id+100000) and mutated near-copies (doc_id+200000) of the first
 # 20 docs — the shared tables contain no natural duplicates, so the
@@ -109,6 +126,19 @@ def _bm25_sql(qterms: list[tuple[str, int]], mode: str, k: int) -> str:
 # The planted SHORT docs (0/1/2/3 tokens) exercise the sub-n-gram guard
 # (Spark's unguarded sequence(1,0) is descending and crashes; DuckDB's
 # generate_series(1,0) is empty — both must agree on the empty set).
+# Batch-serving gate queries: known terms, duplicate-term weights, an
+# unknown term (dropped -> single-found-term AND), disjoint per query.
+BATCH_AND_QUERIES = [
+    (1, [("data", 1), ("join", 1)]),
+    (2, [("filter", 1), ("zzznotaterm", 1)]),
+    (3, [("data", 2), ("window", 1)]),
+]
+BATCH_OR_QUERIES = [
+    (1, [("spark", 1), ("merge", 1), ("vector", 1)]),
+    (2, [("data", 2), ("window", 1)]),
+    (3, [("merge", 1), ("filter", 1), ("data", 2)]),
+]
+
 DEDUP_SUFFIX = " mutated suffix tokens appended here"
 SHORT_DOCS = [
     (300000, ""),
@@ -284,13 +314,19 @@ def _built(spark: SparkSession, sf_dir: str) -> dict:
     postings = build_postings(docs).cache()
     index = build_index(postings, salt_threshold=UNSALTED).cache()
     agg = docs.agg(
-        F.count("*").alias("n"), F.sum("doc_len").alias("sdl")
+        F.count("*").alias("n"),
+        F.sum("doc_len").alias("sdl"),
+        F.min("doc_len").alias("mdl"),
     ).collect()[0]
     env = {
         "docs": docs,
         "postings": postings,
         "index": index,
-        "stats": {"n_docs": int(agg["n"]), "sum_doc_len": int(agg["sdl"])},
+        "stats": {
+            "n_docs": int(agg["n"]),
+            "sum_doc_len": int(agg["sdl"]),
+            "min_doc_len": int(agg["mdl"]),
+        },
     }
     _INDEX_CACHE[sf_dir] = env
     return env
@@ -494,6 +530,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_or_chunked(spark, sf_dir):
         return _bm25_chunked_query(
             spark, sf_dir, [("merge", 1), ("filter", 1), ("data", 2)], "or", 10
+        )
+
+    def bm25_batch_and(spark, sf_dir):
+        # one job answers a TABLE of queries (operators/query_batch):
+        # each matched index row decodes once however many queries
+        # share the term; per-query top-k is a window
+        from invertedindexbuilder_spark.operators.query_batch import (
+            topk_bm25_batch,
+        )
+
+        env = _built(spark, sf_dir)
+        qdf = spark.createDataFrame(
+            [(q, " ".join(t for t, w in terms for _ in range(w)))
+             for q, terms in BATCH_AND_QUERIES],
+            "query_id long, text string",
+        )
+        return topk_bm25_batch(
+            spark, env["index"], env["docs"], env["stats"], qdf,
+            mode="and", k=10, round_digits=5,
+        )
+
+    def bm25_batch_or(spark, sf_dir):
+        # the same batch operator against the CHUNKED serving table
+        from invertedindexbuilder_spark.operators.query_batch import (
+            topk_bm25_batch,
+        )
+
+        env = _built(spark, sf_dir)
+        chunks = _chunked(spark, sf_dir)
+        qdf = spark.createDataFrame(
+            [(q, " ".join(t for t, w in terms for _ in range(w)))
+             for q, terms in BATCH_OR_QUERIES],
+            "query_id long, text string",
+        )
+        return topk_bm25_batch(
+            spark, chunks, env["docs"], env["stats"], qdf,
+            mode="or", k=10, round_digits=5,
         )
 
     def lang_id_q(spark, sf_dir):
@@ -804,6 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_unknown": bm25_and_unknown,
         "bm25_and_chunked": bm25_and_chunked,
         "bm25_or_chunked": bm25_or_chunked,
+        "bm25_batch_and": bm25_batch_and,
+        "bm25_batch_or": bm25_batch_or,
         "lang_id": lang_id_q,
         "quality_score": quality_q,
         "token_counts": token_counts,
@@ -1028,6 +1103,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM c e CROSS JOIN q WHERE e.vec_id != 0 AND e.cell = q.qc "
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
         ),
+        "bm25_batch_and": _bm25_batch_sql(BATCH_AND_QUERIES, "and", 10),
+        "bm25_batch_or": _bm25_batch_sql(BATCH_OR_QUERIES, "or", 10),
         "ann_ivf_probe5": (
             "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
             + _cell_sql("embedding", 4)

@@ -39,6 +39,29 @@ from invertedindexbuilder_spark.operators.query_exec import tokenize_query
 HEAVY_QUERY_DF = 8192  # lists above this get block-max treatment in OR
 
 
+def _merge_chunk_table(chunks):
+    """pyarrow INDEX_CHUNK table -> merged one-row-per-term pyarrow-like
+    table (driver-side twin of operators.index_build.merge_chunks, via
+    the same _merge_sorted_frame)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from invertedindexbuilder_spark.operators.index_build import (
+        _merge_sorted_frame,
+    )
+
+    pdf = chunks.to_pandas()
+    out = {k: [] for k in ("term", "df", "last_doc_ids", "block_bytes",
+                           "block_counts", "max_tf", "payload")}
+    for _term, grp in pdf.groupby("term", sort=False):
+        m = _merge_sorted_frame(
+            pd.DataFrame(grp).sort_values("first_doc_id")
+        )
+        for k in out:
+            out[k].append(m[k])
+    return pa.table(out)
+
+
 class LocalIndex:
     """In-process view of the built tables (index/docs/stats parquet).
 
@@ -49,13 +72,22 @@ class LocalIndex:
     """
 
     def __init__(self, index_root: str):
+        import os
+
         from invertedindexbuilder_spark.catalog import resolve_table_path
 
         def _p(name: str) -> str:
             # resolve generation pointers (tables.json) like Catalog does
             return resolve_table_path(index_root, name)
 
-        t = pq.read_table(_p("index"))
+        if os.path.exists(_p("index")):
+            t = pq.read_table(_p("index"))
+        else:
+            # chunk-only build (plans.build merged=False): assemble the
+            # merged per-term view in driver memory — the whole point of
+            # the local session is an index that FITS the driver, so the
+            # concat the distributed plan avoids is fine here
+            t = _merge_chunk_table(pq.read_table(_p("index_chunks")))
         self.terms: list[str] = t.column("term").to_pylist()
         order = np.argsort(self.terms)
         self.terms = [self.terms[i] for i in order]

@@ -170,6 +170,7 @@ def build(
             F.count("*").alias("n"),
             F.bit_xor(F.xxhash64("repo", "path", "commit")).alias("h"),
             F.sum("doc_len").alias("sum_doc_len"),
+            F.min("doc_len").alias("min_doc_len"),
         ).collect()[0]
 
     # ---- phase 1: docs (PARSE side output F3 + doc ids) ----
@@ -190,6 +191,7 @@ def build(
             {
                 "rows": agg["n"],
                 "sum_doc_len": int(agg["sum_doc_len"]),
+                "min_doc_len": int(agg["min_doc_len"]),
                 "wall_s": round(time.time() - t0, 3),
             },
         )
@@ -265,7 +267,14 @@ def build(
             cat.write(chunks, "index_chunks")
             chunks = cat.read("index_chunks")
         if merged:
-            index = merge_chunks(chunks, fanin=DEFAULT_MERGE_FANIN)
+            # fanin (tree merge) needs a chunk-count pass; that is free
+            # when the chunk table is materialized (write_chunks) but
+            # would RE-EXECUTE the whole tokenize+encode lineage when it
+            # is not — so unmaterialized builds (small/oracle corpora)
+            # keep the flat merge, and the at-scale path (write_chunks,
+            # always on for merged=False) gets the bounded tree.
+            fanin = DEFAULT_MERGE_FANIN if write_chunks else None
+            index = merge_chunks(chunks, fanin=fanin)
             cat.write(index, "index")
             idx = cat.read("index")
             terms_expr = F.count("*").alias("terms")
@@ -305,11 +314,17 @@ def build(
     if not (manifest.phase_done("stats", fp) and cat.exists("stats")):
         dph = manifest.data["phases"]["docs"]
         iph = manifest.data["phases"]["index"]
-        if "sum_doc_len" not in dph:
+        if "sum_doc_len" not in dph or "min_doc_len" not in dph:
             d = docs.agg(
-                F.count("*").alias("rows"), F.sum("doc_len").alias("sum_doc_len")
+                F.count("*").alias("rows"),
+                F.sum("doc_len").alias("sum_doc_len"),
+                F.min("doc_len").alias("min_doc_len"),
             ).collect()[0]
-            dph = {"rows": d["rows"], "sum_doc_len": d["sum_doc_len"]}
+            dph = {
+                "rows": d["rows"],
+                "sum_doc_len": d["sum_doc_len"],
+                "min_doc_len": d["min_doc_len"],
+            }
         if "terms" not in iph:
             i = cat.read(index_table).agg(
                 F.count_distinct("term").alias("terms"),
@@ -323,9 +338,12 @@ def build(
                     int(dph["sum_doc_len"]),
                     int(iph["terms"]),
                     int(iph["postings"]),
+                    # min_doc_len: the BM25 block-max upper bound's
+                    # doc_len floor (query_exec.decode_matched_rows_bmw)
+                    int(dph["min_doc_len"]),
                 )
             ],
-            schema="n_docs long, sum_doc_len long, n_terms long, n_postings long",
+            schema=_STATS_SCHEMA,
         )
         cat.write(stats_df, "stats")
         manifest.record("stats", fp, {"wall_s": round(time.time() - t0, 3)})
@@ -483,7 +501,9 @@ def compact(
     scope.release()
     docs_tbl = cat.read("docs")
     dagg = docs_tbl.filter(F.col("doc_id") >= n_old).agg(
-        F.count("*").alias("n"), F.sum("doc_len").alias("sdl")
+        F.count("*").alias("n"),
+        F.sum("doc_len").alias("sdl"),
+        F.min("doc_len").alias("mdl"),
     ).collect()[0]
     n_delta = int(dagg["n"])
     if n_delta == 0:
@@ -492,6 +512,16 @@ def compact(
         manifest.clear_journal()
         return manifest.data
     sdl_delta = int(dagg["sdl"])
+    # running minimum: old stats may predate the min_doc_len column
+    old_min = stats.get("min_doc_len")
+    if old_min is None:
+        old_min = int(
+            cat.read("docs")
+            .filter(F.col("doc_id") < n_old)
+            .agg(F.min("doc_len"))
+            .collect()[0][0]
+        )
+    new_min = min(int(old_min), int(dagg["mdl"]))
 
     # ---- delta postings: re-tokenize, or remap the streamed ones ----
     min_par = num_partitions or int(
@@ -556,7 +586,7 @@ def compact(
         ).collect()[0]
         _write_stats(
             spark, cat, n_old + n_delta,
-            int(stats["sum_doc_len"]) + sdl_delta, m,
+            int(stats["sum_doc_len"]) + sdl_delta, m, new_min,
         )
     else:
         # parquet backend: write EVERY rewritten table into generation
@@ -580,7 +610,7 @@ def compact(
         stats_phys = f"stats.g{gen}"
         _write_stats(
             spark, cat, n_old + n_delta,
-            int(stats["sum_doc_len"]) + sdl_delta, m,
+            int(stats["sum_doc_len"]) + sdl_delta, m, new_min,
             table=stats_phys,
         )
         orphan_dirs = cat.publish({**publish_map, "stats": stats_phys})
@@ -610,16 +640,24 @@ def compact(
     return manifest.data
 
 
+_STATS_SCHEMA = (
+    "n_docs long, sum_doc_len long, n_terms long, n_postings long, "
+    "min_doc_len long"
+)
+
+
 def _write_stats(
     spark: SparkSession,
     cat: Catalog,
     n_docs: int,
     sum_doc_len: int,
     m,
+    min_doc_len: int,
     table: str = "stats",
 ) -> None:
     stats_df = spark.createDataFrame(
-        [(n_docs, sum_doc_len, int(m["terms"]), int(m["postings"]))],
-        schema="n_docs long, sum_doc_len long, n_terms long, n_postings long",
+        [(n_docs, sum_doc_len, int(m["terms"]), int(m["postings"]),
+          int(min_doc_len))],
+        schema=_STATS_SCHEMA,
     )
     cat.write(stats_df, table)

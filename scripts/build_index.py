@@ -36,6 +36,11 @@ def main() -> int:
                     help="also persist the chunked serving table "
                          "(index_chunks) for topk_bm25_chunked / "
                          "query_cli --chunked")
+    ap.add_argument("--chunks-only", action="store_true",
+                    help="skip the merged one-row-per-term index "
+                         "(build merged=False): serve purely from "
+                         "index_chunks — the at-scale posture; implies "
+                         "--write-chunks")
     ap.add_argument("--compact", action="store_true",
                     help="treat the input as a DELTA of new files and "
                          "fold it into the existing build at --out "
@@ -140,6 +145,7 @@ def main() -> int:
         checkpoint_postings=args.checkpoint_postings,
         tokenizer=args.tokenizer,
         write_chunks=args.write_chunks,
+        merged=not args.chunks_only,
     )
     wall = time.time() - t0
     n_docs = manifest["phases"]["docs"]["rows"]

@@ -139,3 +139,28 @@ def test_chunk_only_build_serves_and_compacts(spark, tmp_path):
         ),
     )
     assert a == b
+
+
+def test_local_session_serves_chunk_only_build(spark, tmp_path):
+    """The driver-local query session works against a merged-free build
+    (merged=False): it assembles the per-term view in driver memory and
+    answers identically to a session over a merged build."""
+    from invertedindexbuilder_spark.operators.local_query import (
+        LocalIndex,
+        topk_local,
+    )
+    from invertedindexbuilder_spark.plans.build import build
+    from invertedindexbuilder_spark.sources.docs_src import synthetic_docs_src
+
+    root_c = str(tmp_path / "chunkonly")
+    root_m = str(tmp_path / "merged")
+    build(spark, synthetic_docs_src(spark, 250), root_c, merged=False)
+    build(spark, synthetic_docs_src(spark, 250), root_m, write_chunks=True)
+    li_c, li_m = LocalIndex(root_c), LocalIndex(root_m)
+    for q, m in [("alpha beta", "and"), ("common alpha gamma", "or")]:
+        a = topk_local(li_c, q, mode=m, k=10)
+        b = topk_local(li_m, q, mode=m, k=10)
+        assert [(d, round(s, 9)) for d, s in a] == [
+            (d, round(s, 9)) for d, s in b
+        ]
+        assert a
