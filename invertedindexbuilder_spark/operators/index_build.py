@@ -107,27 +107,36 @@ def resolve_salting(
     )
 
 
-def stripe_sample(docs: DataFrame, sample_docs: int) -> DataFrame:
-    """Deterministic per-split head stripe: the first
-    ``ceil(sample_docs / n_splits)`` rows of EVERY input split.
+def stripe_sample(
+    docs: DataFrame, sample_docs: int, max_splits: int = 32
+) -> DataFrame:
+    """Deterministic striped head sample: the first rows of up to
+    ``max_splits`` EVENLY-SPACED input splits.
 
     Unlike ``limit(sample_docs)`` (which reads a handful of splits and
     sees only the corpus PREFIX — a term heavy only in the corpus tail,
     e.g. a license header adopted halfway through a crawl, gets no salt
-    and its full df lands on one shuffle key), every doc range is
-    represented.  Unlike ``sample(fraction)`` or a ``doc_id % k``
-    filter, no split is read past its head: the RDD iterator is
+    and its full df lands on one shuffle key), the probed splits span
+    the whole doc range.  Unlike ``sample(fraction)`` or a
+    ``doc_id % k`` filter, unprobed splits are never touched and probed
+    ones are never read past their head: the RDD iterator is
     pull-based, so ``islice`` stops deserializing after ``per_split``
-    rows per task.  Residual blind spot: a term confined to the
-    interior of single splits can hide, but its df is then bounded by
+    rows per task, and ``max_splits`` caps the task count however many
+    splits the corpus has.  Residual blind spot: a term confined to the
+    interior/unprobed splits can hide, but its df is then bounded by
     (#occupied splits x split row count), far below any salting
     threshold at scale — a term heavy enough to need salting spans many
-    splits and appears in their heads."""
+    splits including probed heads — and a missed term degrades to a
+    straggler, never a failure (encoder carry-spill)."""
     from itertools import islice
 
     n_splits = max(1, docs.rdd.getNumPartitions())
-    per_split = max(1, -(-sample_docs // n_splits))
-    rdd = docs.rdd.mapPartitions(lambda it: islice(it, per_split))
+    probe = min(n_splits, max_splits)
+    step = n_splits // probe
+    per_split = max(1, -(-sample_docs // probe))
+    rdd = docs.rdd.mapPartitionsWithIndex(
+        lambda i, it: islice(it, per_split) if i % step == 0 else iter(())
+    )
     return docs.sparkSession.createDataFrame(rdd, docs.schema)
 
 
@@ -164,12 +173,17 @@ def resolve_salting_sampled(
     scale = n_docs / n_sample
     spread = sampled.repartition(min(16, max(num_partitions, 1)))
     sample = build_postings(spread, content_col)
+    # cache the per-term ESTIMATE frame (one row per distinct sample
+    # term), not the postings: _resolve_from_tdf runs two actions over
+    # it (share aggregate + heavy filter) and an uncached tdf would
+    # re-tokenize the sample for each
     tdf = sample.groupBy("term").agg(
         (F.count("*") * F.lit(float(scale))).alias("df_est")
-    )
+    ).cache()
     out = _resolve_from_tdf(
         tdf, "df_est", num_partitions, salt_threshold, chunk_blocks
     )
+    tdf.unpersist()
     sampled.unpersist()
     return out
 

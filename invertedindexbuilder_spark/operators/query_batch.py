@@ -96,14 +96,16 @@ def topk_bm25_batch(
     n_docs = int(stats["n_docs"])
     davr = float(stats["sum_doc_len"]) / float(n_docs - 1)
 
-    qkeys = _query_keys(queries, strict).cache()
+    # qkeys is deliberately NOT cached: it re-derives from the queries
+    # table in one narrow pass wherever the plan needs it (a cache here
+    # would pin executor storage per batch in a long-running server)
+    qkeys = _query_keys(queries, strict)
     # the distinct keys of the whole batch, with a batch-level weight
     # placeholder (the real per-query weight joins back after decode)
     distinct_keys = {
         r["key"]: 1 for r in qkeys.select("key").distinct().collect()
     }
     if not distinct_keys:
-        qkeys.unpersist()
         return spark.createDataFrame(
             [], schema="query_id long, doc_id long, score double, rank int"
         )
@@ -142,9 +144,11 @@ def topk_bm25_batch(
     )
     if mode == "and":
         # docs containing ALL FOUND keys of their query: per-query found
-        # count = distinct keys that matched at least one index row
+        # count = distinct keys that matched at least one index row.
+        # Computed from the MATCHED metadata (pre-decode — every matched
+        # row has df >= 1), so the decode pipeline runs exactly once.
         found = (
-            decoded.select("key")
+            matched.select("key")
             .distinct()
             .join(F.broadcast(qkeys), "key")
             .groupBy("query_id")

@@ -24,7 +24,11 @@ terms) scalars); the docs join for doc_len shuffles on doc_id and
 benefits from bucketing the docs table by doc_id; stats is a broadcast
 scalar pair.  Conjunctive queries prune two-sidedly with the rarest
 term's doc range (the nextGEQ skip analog): whole chunks above the
-bound leave the plan, boundary chunks truncate blocks in the decoder.
+bound leave the plan, boundary chunks truncate blocks in the decoder;
+at scale (and_prune auto) the rarest list's decoded doc_ids become an
+explicit candidate set and every other list decodes candidate-bearing
+blocks ONLY (_try_candidate_and_decode — the distributed form of the
+local session's progressive intersection).
 Disjunctive queries get set-at-a-time block-max pruning
 (decode_matched_rows_bmw): light lists decode fully and seed theta (the
 k-th best partial score) plus the candidate set; heavy-list blocks
@@ -297,6 +301,58 @@ def decode_matched_rows_bmw(
     return matched.mapInPandas(explode, schema=_DECODED_SCHEMA)
 
 
+def _try_candidate_and_decode(
+    spark: SparkSession,
+    matched: DataFrame,
+    rare_key: str,
+    rare_df: int,
+    cand_limit: int,
+    counters: dict | None,
+) -> DataFrame | None:
+    """Conjunctive candidate-block pruning — the distributed form of
+    local_query._conjunctive's progressive intersection: the rarest
+    list decodes fully and its doc_ids become the candidate set; every
+    OTHER list then decodes only blocks whose doc range holds >= 1
+    candidate (any AND result doc is in the rarest list, and all its
+    postings in other lists live in candidate-overlapping blocks, so
+    this is exact — non-candidate docs that ride along in boundary
+    blocks are dropped by the all-keys-present filter).
+
+    Returns the pruned decoded frame, or None (caller falls back to the
+    doc-range-bounded full decode) when the rarest list exceeds the
+    driver candidate bound.  Costs one extra small job (the rare-list
+    decode + O(rare_df) doc_id collect); worth it exactly where a query
+    pairs a selective term with a stopword whose blocks would otherwise
+    all decode — at 10^12 docs that is ~10^10 skipped blocks.
+    """
+    if rare_df > cand_limit:
+        return None
+    rare_rows = matched.filter(F.col("key") == F.lit(rare_key))
+    cand = np.sort(
+        np.array(
+            [
+                r["doc_id"]
+                for r in decode_matched_rows(rare_rows)
+                .select("doc_id")
+                .collect()
+            ],
+            dtype=np.int64,
+        )
+    )
+    if cand.size == 0:
+        return decode_matched_rows(rare_rows.limit(0))
+    other_rows = matched.filter(F.col("key") != F.lit(rare_key))
+    # theta=+inf with zero ub headroom degenerates the BMW keep rule to
+    # candidate-overlap only — the shared decoder does the block skips
+    import collections
+
+    other_dec = decode_matched_rows_bmw(
+        other_rows, cand, float("inf"), collections.defaultdict(float),
+        n_docs=1 << 62, min_doc_len=1.0, davr=1.0, counters=counters,
+    )
+    return decode_matched_rows(rare_rows).unionByName(other_dec)
+
+
 def _try_bmw_or_decode(
     spark: SparkSession,
     matched: DataFrame,
@@ -390,6 +446,7 @@ def topk_bm25(
     prune_collect_limit: int = 100_000,
     round_digits: int | None = None,
     or_prune: bool | str = "auto",
+    and_prune: bool | str = "auto",
     heavy_df: int = HEAVY_QUERY_DF,
     cand_limit: int = BMW_CANDIDATE_LIMIT,
     counters: dict | None = None,
@@ -412,6 +469,8 @@ def topk_bm25(
     davr = float(stats["sum_doc_len"]) / float(n_docs - 1)  # reference N-1 quirk
     if or_prune == "auto":
         or_prune = n_docs >= AUTO_OR_PRUNE_MIN_DOCS
+    if and_prune == "auto":
+        and_prune = n_docs >= AUTO_OR_PRUNE_MIN_DOCS
 
     min_doc, max_doc = 0, None
     n_keys = None
@@ -431,6 +490,11 @@ def topk_bm25(
         rare = min(meta, key=lambda r: r["df"])
         if rare["df"] <= prune_collect_limit:
             max_doc = int(rare["last_doc"])
+        if and_prune and n_keys > 1:
+            decoded = _try_candidate_and_decode(
+                spark, matched, rare["key"], int(rare["df"]),
+                cand_limit, counters,
+            )
     elif mode == "or" and or_prune:
         meta = matched.select(
             "key", "df", "weight", F.array_max("max_tf").alias("mt")
@@ -499,6 +563,7 @@ def topk_bm25_chunked(
     prune_collect_limit: int = 100_000,
     round_digits: int | None = None,
     or_prune: bool | str = "auto",
+    and_prune: bool | str = "auto",
     heavy_df: int = HEAVY_QUERY_DF,
     cand_limit: int = BMW_CANDIDATE_LIMIT,
     counters: dict | None = None,
@@ -521,6 +586,8 @@ def topk_bm25_chunked(
     davr = float(stats["sum_doc_len"]) / float(n_docs - 1)
     if or_prune == "auto":
         or_prune = n_docs >= AUTO_OR_PRUNE_MIN_DOCS
+    if and_prune == "auto":
+        and_prune = n_docs >= AUTO_OR_PRUNE_MIN_DOCS
 
     min_doc, max_doc = 0, None
     n_keys = None
@@ -542,6 +609,11 @@ def topk_bm25_chunked(
             # even enter the decode stage (task-level pruning; block-
             # level pruning inside boundary chunks happens in decode)
             matched = matched.filter(F.col("first_doc_id") <= F.lit(max_doc))
+        if and_prune and n_keys > 1:
+            decoded = _try_candidate_and_decode(
+                spark, matched, rare["key"], int(rare["df"]),
+                cand_limit, counters,
+            )
     elif mode == "or" and or_prune:
         # one scalar row per key: full-term df, weight, list-wide max tf
         meta = matched.groupBy("key").agg(

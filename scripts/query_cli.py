@@ -31,6 +31,12 @@ def main() -> int:
                     help="with --spark: serve from the chunked index "
                          "(index_chunks, built with --write-chunks) — "
                          "heavy terms decode one chunk per task")
+    ap.add_argument("--batch", metavar="QUERIES_FILE",
+                    help="with --spark: answer a whole FILE of queries "
+                         "(one per line) in ONE job via "
+                         "operators/query_batch.topk_bm25_batch — each "
+                         "matched index row decodes once however many "
+                         "queries share the term")
     ap.add_argument("--snippets-from", metavar="DOCS_SRC_PARQUET",
                     help="also print a best-window snippet per result, "
                          "re-reading content from the source table "
@@ -39,6 +45,8 @@ def main() -> int:
     ap.add_argument("terms", nargs="*")
     args = ap.parse_args()
 
+    if args.spark and args.batch:
+        return _spark_batch(args)
     if args.spark:
         run = _spark_runner(args)
     else:
@@ -108,6 +116,43 @@ def main() -> int:
                 run(line.strip(), mode, k)
     except (EOFError, KeyboardInterrupt):
         pass
+    return 0
+
+
+def _spark_batch(args) -> int:
+    from invertedindexbuilder_spark.catalog import Catalog
+    from invertedindexbuilder_spark.operators.query_batch import (
+        topk_bm25_batch,
+    )
+    from invertedindexbuilder_spark.plans.build import load_stats
+    from invertedindexbuilder_spark.session import get_spark
+
+    with open(args.batch) as f:
+        texts = [ln.strip() for ln in f if ln.strip()]
+    if not texts:
+        return 0
+    spark = get_spark(app_name="query-cli-batch", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    cat = Catalog(spark, args.index)
+    table = "index_chunks" if args.chunked else "index"
+    qdf = spark.createDataFrame(
+        list(enumerate(texts)), "query_id long, text string"
+    )
+    t0 = time.time()
+    rows = topk_bm25_batch(
+        spark, cat.read(table),
+        cat.read("docs").select("doc_id", "doc_len"),
+        load_stats(spark, args.index), qdf,
+        mode=args.mode, k=args.k, strict=not args.no_strict,
+    ).orderBy("query_id", "rank").collect()
+    dt = (time.time() - t0) * 1000
+    for r in rows:
+        print(f"{texts[r['query_id']]}\t{r['rank']}\t{r['doc_id']}\t"
+              f"{r['score']:.6f}")
+    print(
+        f"# {len(texts)} queries, {len(rows)} result rows in {dt:.0f} ms",
+        file=sys.stderr,
+    )
     return 0
 
 

@@ -120,3 +120,54 @@ def test_or_pruned_with_duplicate_query_terms(spark, env):
         or_prune=False,
     ).collect()
     assert _key(a) == _key(b)
+
+
+def test_and_candidate_prune_equals_full_merged(spark, env):
+    counters = {
+        "decoded": spark.sparkContext.accumulator(0),
+        "total": spark.sparkContext.accumulator(0),
+    }
+    pruned = topk_bm25(
+        spark, env["index"], env["docs"], env["stats"], "rareone common",
+        mode="and", k=10, round_digits=6, and_prune=True, counters=counters,
+    ).collect()
+    full = topk_bm25(
+        spark, env["index"], env["docs"], env["stats"], "rareone common",
+        mode="and", k=10, round_digits=6, and_prune=False,
+    ).collect()
+    assert _key(pruned) == _key(full) and pruned
+    # candidates live in one narrow range: almost every stopword block skips
+    assert counters["total"].value > 0
+    assert counters["decoded"].value < counters["total"].value / 4
+
+
+def test_and_candidate_prune_equals_full_chunked(spark, env):
+    counters = {
+        "decoded": spark.sparkContext.accumulator(0),
+        "total": spark.sparkContext.accumulator(0),
+    }
+    pruned = topk_bm25_chunked(
+        spark, env["chunks"], env["docs"], env["stats"],
+        "raretwo common mid", mode="and", k=10, round_digits=6,
+        and_prune=True, counters=counters,
+    ).collect()
+    full = topk_bm25_chunked(
+        spark, env["chunks"], env["docs"], env["stats"],
+        "raretwo common mid", mode="and", k=10, round_digits=6,
+        and_prune=False,
+    ).collect()
+    # raretwo (even+odd range) ∩ common (even) ∩ mid (odd) = empty —
+    # the empty intersection must be empty in BOTH paths
+    assert _key(pruned) == _key(full) == []
+
+
+def test_and_candidate_prune_nonempty_chunked(spark, env):
+    pruned = topk_bm25_chunked(
+        spark, env["chunks"], env["docs"], env["stats"],
+        "raretwo common", mode="and", k=10, round_digits=6, and_prune=True,
+    ).collect()
+    full = topk_bm25_chunked(
+        spark, env["chunks"], env["docs"], env["stats"],
+        "raretwo common", mode="and", k=10, round_digits=6, and_prune=False,
+    ).collect()
+    assert _key(pruned) == _key(full) and pruned
