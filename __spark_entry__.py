@@ -586,6 +586,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             alnum_token_count(F.col("text")).cast("long").alias("alnum_tokens"),
         )
 
+    def pack_sequences_q(spark, sf_dir):
+        # LLM training-data packing (concatenate-and-chunk): doc ->
+        # sequence segment map; distributed prefix sums, no global
+        # window (operators/packing.py)
+        from invertedindexbuilder_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        docs = _documents(spark, sf_dir).select(
+            "doc_id",
+            ws_token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        return pack_sequences(docs, seq_len=512)
+
+    def stratified_sample_q(spark, sf_dir):
+        # reproducible training-data MIX: per-language keep rates via a
+        # content-hash threshold (pure function of the row — stable
+        # across partitionings, engines, and re-runs)
+        from invertedindexbuilder_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        d = _documents(spark, sf_dir).select(
+            "doc_id", lang_id(F.col("text")).alias("lang_pred")
+        )
+        return stratified_sample(
+            d, "doc_id", "lang_pred", {"en": 0.5, "de": 0.25},
+            default_rate=0.1,
+        )
+
     def content_hash(spark, sf_dir):
         return _documents(spark, sf_dir).select(
             "doc_id", content_hash64(F.col("text")).alias("h64")
@@ -882,6 +912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id_q,
         "quality_score": quality_q,
         "token_counts": token_counts,
+        "pack_sequences": pack_sequences_q,
+        "stratified_sample": stratified_sample_q,
         "content_hash": content_hash,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
@@ -1102,6 +1134,30 @@ def oracle_sql() -> dict[str, str]:
             ", 6) AS cosine "
             "FROM c e CROSS JOIN q WHERE e.vec_id != 0 AND e.cell = q.qc "
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        "stratified_sample": (
+            "WITH "
+            + _lang_ctes("documents")
+            + " SELECT doc_id, lang_pred FROM lang WHERE "
+            "CAST('0x' || SUBSTR(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) "
+            "% 1000000 < CASE lang_pred WHEN 'en' THEN 500000 "
+            "WHEN 'de' THEN 250000 ELSE 100000 END"
+        ),
+        "pack_sequences": (
+            "WITH t AS (SELECT doc_id, "
+            "len(regexp_extract_all(text, '\\S+'))::BIGINT AS n "
+            "FROM documents), "
+            "o AS (SELECT doc_id, n, coalesce(sum(n) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0)::BIGINT AS off FROM t), "
+            "seg AS (SELECT doc_id, n, off, "
+            "unnest(generate_series(off // 512, (off + n - 1) // 512)) "
+            "AS seq_id FROM o WHERE n > 0) "
+            "SELECT seq_id::BIGINT AS seq_id, doc_id, "
+            "greatest(seq_id * 512 - off, 0)::BIGINT AS doc_begin, "
+            "least((seq_id + 1) * 512 - off, n)::BIGINT AS doc_end, "
+            "greatest(off - seq_id * 512, 0)::BIGINT AS seq_begin "
+            "FROM seg"
         ),
         "bm25_batch_and": _bm25_batch_sql(BATCH_AND_QUERIES, "and", 10),
         "bm25_batch_or": _bm25_batch_sql(BATCH_OR_QUERIES, "or", 10),
