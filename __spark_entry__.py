@@ -621,6 +621,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", content_hash64(F.col("text")).alias("h64")
         )
 
+    def repetition_stats_q(spark, sf_dir):
+        # Gopher-style repeat filters: dup-word fraction + top-bigram
+        # occupancy (operators/curation.py)
+        from invertedindexbuilder_spark.operators.curation import (
+            repetition_stats,
+        )
+
+        return repetition_stats(_documents(spark, sf_dir))
+
+    def top_bigrams_q(spark, sf_dir):
+        # global corpus n-gram statistics (threshold-picking pass)
+        from invertedindexbuilder_spark.operators.curation import top_ngrams
+
+        return top_ngrams(_documents(spark, sf_dir), n=2, k=100)
+
+    def decontaminate_q(spark, sf_dir):
+        # benchmark decontamination: docs vs the doc_id%97==0 subset
+        # playing the held-out benchmark role
+        from invertedindexbuilder_spark.operators.curation import decontaminate
+
+        d = _documents(spark, sf_dir).select("doc_id", "text")
+        bench = d.filter(F.col("doc_id") % 97 == 0)
+        return decontaminate(
+            d.filter(F.col("doc_id") % 97 != 0), bench, n=3, tau=0.5
+        )
+
+    def pii_scrub_q(spark, sf_dir):
+        # PII planted deterministically (the shared corpus has none),
+        # then counted + redacted by pure column expressions
+        from invertedindexbuilder_spark.functions.text import (
+            pii_email_count,
+            pii_phone_count,
+            redact_pii,
+        )
+
+        d = _documents(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 10 == 0,
+                    F.concat(
+                        F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(
+                        F.lit(" call 555-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                        F.lit("-1234"),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return d.select(
+            "doc_id",
+            pii_email_count(F.col("text")).alias("n_emails"),
+            pii_phone_count(F.col("text")).alias("n_phones"),
+            F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
+        )
+
+    def source_dup_stats_q(spark, sf_dir):
+        # cross-source duplication with planted fork copies of the
+        # first 20 docs under a synthetic 'planted' source
+        from invertedindexbuilder_spark.operators.curation import (
+            source_dup_stats,
+        )
+
+        d = _documents(spark, sf_dir).select("doc_id", "source", "text")
+        planted = d.filter(F.col("doc_id") < 20).select(
+            "doc_id", F.lit("planted").alias("source"), "text"
+        )
+        return source_dup_stats(d.unionAll(planted))
+
     def dedup_exact(spark, sf_dir):
         return exact_duplicate_groups(_dedup_corpus(spark, sf_dir)).select(
             "content_sha256",
@@ -915,6 +992,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences_q,
         "stratified_sample": stratified_sample_q,
         "content_hash": content_hash,
+        "repetition_stats": repetition_stats_q,
+        "top_bigrams": top_bigrams_q,
+        "decontaminate": decontaminate_q,
+        "pii_scrub": pii_scrub_q,
+        "source_dup_stats": source_dup_stats_q,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -957,6 +1039,10 @@ _COS_AB = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from invertedindexbuilder_spark.functions.text import (
+        EMAIL_PATTERN as _EMAIL_P,
+        PHONE_PATTERN as _PHONE_P,
+    )
     from invertedindexbuilder_spark.operators.multimodal import (
         expected_media_features,
         expected_media_frames,
@@ -1057,6 +1143,75 @@ def oracle_sql() -> dict[str, str]:
         "content_hash": (
             "SELECT doc_id, CAST('0x' || SUBSTR(md5(text), 1, 15) AS BIGINT) "
             "AS h64 FROM documents"
+        ),
+        "repetition_stats": (
+            "WITH w AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents), "
+            "ws AS (SELECT doc_id, len(l)::BIGINT AS n_words, "
+            "len(list_distinct(l))::BIGINT AS n_distinct_words FROM w), "
+            "bg AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i+1])) AS b "
+            "FROM w WHERE len(l) >= 2), "
+            "bgc AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2), "
+            "bga AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bgc GROUP BY 1) "
+            "SELECT ws.doc_id, ws.n_words, ws.n_distinct_words, "
+            "CASE WHEN n_words > 0 "
+            "THEN round(1.0 - n_distinct_words * 1.0 / n_words, 6) "
+            "ELSE 0.0 END AS dup_word_frac, "
+            "coalesce(round(mx * 1.0 / tot, 6), 0.0) AS top_bigram_frac "
+            "FROM ws LEFT JOIN bga ON ws.doc_id = bga.doc_id"
+        ),
+        "top_bigrams": (
+            "WITH w AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents), "
+            "bg AS (SELECT unnest(list_transform("
+            "generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i+1])) AS ngram "
+            "FROM w WHERE len(l) >= 2) "
+            "SELECT ngram, count(*)::BIGINT AS n_occurrences FROM bg "
+            "GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT 100"
+        ),
+        "decontaminate": (
+            "WITH sl AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents), "
+            "shing AS (SELECT DISTINCT doc_id, s AS shingle FROM ("
+            "SELECT doc_id, unnest(list_transform("
+            "generate_series(1, greatest(len(l) - 2, 0)), "
+            "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s FROM sl)), "
+            "bench AS (SELECT DISTINCT shingle FROM shing WHERE doc_id % 97 = 0), "
+            "scored AS (SELECT s.doc_id, count(*)::BIGINT AS n_shingles, "
+            "sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit "
+            "FROM shing s LEFT JOIN bench b ON s.shingle = b.shingle "
+            "WHERE s.doc_id % 97 <> 0 GROUP BY 1) "
+            "SELECT d.doc_id, coalesce(n_shingles, 0)::BIGINT AS n_shingles, "
+            "coalesce(n_hit, 0)::BIGINT AS n_hit, "
+            "coalesce(round(n_hit * 1.0 / n_shingles, 6), 0.0) AS contamination, "
+            "(CASE WHEN coalesce(round(n_hit * 1.0 / n_shingles, 6), 0.0) >= 0.5 "
+            "THEN 1 ELSE 0 END)::INT AS contaminated "
+            "FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id "
+            "WHERE d.doc_id % 97 <> 0"
+        ),
+        "pii_scrub": (
+            "WITH pp AS (SELECT doc_id, text || "
+            "CASE WHEN doc_id % 10 = 0 THEN ' contact user' || doc_id::VARCHAR "
+            "|| '@example.com now' ELSE '' END || "
+            "CASE WHEN doc_id % 7 = 0 THEN ' call 555-' "
+            "|| lpad((doc_id % 10000)::VARCHAR, 4, '0') || '-1234' ELSE '' END "
+            "AS text FROM documents) "
+            f"SELECT doc_id, "
+            f"len(regexp_extract_all(text, '{_EMAIL_P}'))::BIGINT AS n_emails, "
+            f"len(regexp_extract_all(text, '{_PHONE_P}'))::BIGINT AS n_phones, "
+            f"md5(regexp_replace(regexp_replace(text, '{_EMAIL_P}', '<EMAIL>', 'g'), "
+            f"'{_PHONE_P}', '<PHONE>', 'g')) AS redacted_md5 FROM pp"
+        ),
+        "source_dup_stats": (
+            "WITH sd AS (SELECT source, text FROM documents UNION ALL "
+            "SELECT 'planted' AS source, text FROM documents WHERE doc_id < 20), "
+            "th AS (SELECT source, md5(text) AS h FROM sd), "
+            "hs AS (SELECT h, count(DISTINCT source) AS ns FROM th GROUP BY h) "
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END)::BIGINT AS n_cross_dup, "
+            "round(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) "
+            "AS cross_dup_frac FROM th JOIN hs ON th.h = hs.h GROUP BY source"
         ),
         "dedup_exact": (
             "WITH "

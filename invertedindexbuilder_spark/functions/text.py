@@ -98,3 +98,32 @@ def hash32(col: Column, salt: int | None = None) -> Column:
     the primitive under minhash/simhash so Spark and DuckDB agree."""
     s = F.concat(F.lit(f"{salt}:"), col) if salt is not None else col
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+# ------------------------------------------------------------------ PII
+# Both patterns are deliberately RE2-safe (no backrefs, no lookaround)
+# so the same literal string runs in Spark (java.util.regex) and DuckDB
+# (RE2) — the oracle twin uses them verbatim.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"[0-9]{3}-[0-9]{4}-[0-9]{4}"
+
+
+def pii_email_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(EMAIL_PATTERN)).cast("long")
+
+
+def pii_phone_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(PHONE_PATTERN)).cast("long")
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every email / phone-shaped span with a typed placeholder
+    (emails first: the phone pattern cannot match inside an email's
+    local part after alnum runs are consumed, and neither placeholder
+    re-triggers the other pattern).  Pure column expression — redaction
+    runs at scan speed with zero Python in the loop."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN,
+        "<PHONE>",
+    )

@@ -1,0 +1,207 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+Gopher-style repetition metrics, global n-gram statistics, benchmark
+decontamination, and cross-source duplication rates.
+
+These extend the engine beyond the reference's inverted-index scope
+(the reference has no curation pass at all — its only corpus-level
+statistic is the doc count / d_avr pair in query.c:34-44); they are
+the operations a 100 TB training-data pipeline runs BEFORE indexing.
+
+Scale notes (each operator's 100 TB story):
+
+- ``repetition_stats``: per-doc word stats are pure array expressions
+  (no shuffle); the bigram mode needs a groupBy keyed by
+  (doc_id, bigram) then (doc_id) — both partition on doc_id-derived
+  keys with no skew (a doc's bigrams go to one task only via the
+  composite key, and no single doc has unbounded bigrams).  The input
+  is scanned twice (once for array stats, once for the bigram
+  explode); both scans are narrow and column-pruned to (id, text).
+- ``top_ngrams``: explode + partial-aggregated groupBy + bounded
+  TakeOrdered — the canonical word-count shape.  The groupBy key is
+  the n-gram itself; Zipf skew is absorbed by map-side partial
+  aggregation (each task pre-sums its local counts before the
+  exchange, so the hot n-gram ships one row per task, not one per
+  occurrence).
+- ``decontaminate``: the benchmark side is DISTINCT shingles of the
+  contamination reference (benchmark suites are MBs even when the
+  corpus is 100 TB) — broadcast by default; pass
+  ``broadcast_bench=False`` if the reference set is itself huge and
+  the join becomes a standard shuffle-hash join on the shingle key.
+- ``source_dup_stats``: two hash-keyed aggregations (content hash,
+  then source) plus a join on the content hash.  Exact-duplicate
+  content is the classic skew risk here — a boilerplate file repeated
+  10^6 times is ONE row on the hash-count side (already aggregated),
+  so the join fans out only per-occurrence rows, never pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from invertedindexbuilder_spark.operators.dedup import (
+    _gram_index_expr,
+    _spread,
+    doc_shingles,
+    tokens_expr,
+)
+
+
+def _ngrams_expr(toks: Column, n: int) -> Column:
+    """All (non-distinct) word n-grams of a token array, space-joined;
+    empty for docs shorter than n tokens (shared guard with dedup's
+    shingles — Spark's unguarded sequence(1, 0) is descending)."""
+    idx = _gram_index_expr(toks, n)
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc repetition metrics (the Gopher/MassiveText repeat
+    filters): word count, distinct-word count, duplicate-word
+    fraction, and the fraction of bigram occurrences taken by the
+    single most frequent bigram.
+
+    Columns: doc_id, n_words, n_distinct_words, dup_word_frac,
+    top_bigram_frac (fractions rounded to 6, 0.0 for docs too short
+    to have any).
+    """
+    base = _spread(docs).select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("w")
+    )
+    words = base.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_distinct_words"),
+    )
+    bigram_occ = base.select(
+        "doc_id", F.explode(_ngrams_expr(F.col("w"), 2)).alias("bg")
+    )
+    bstats = (
+        bigram_occ.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("_mx"), F.sum("c").alias("_tot"))
+    )
+    return words.join(bstats, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.lit(1.0) - F.col("n_distinct_words") / F.col("n_words"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+        F.coalesce(
+            F.round(F.col("_mx") / F.col("_tot"), 6), F.lit(0.0)
+        ).alias("top_bigram_frac"),
+    )
+
+
+def top_ngrams(
+    docs: DataFrame, n: int = 2, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Global top-k word n-grams by occurrence count (corpus-statistics
+    pass used to pick contamination / repetition thresholds).  Ties
+    break by n-gram string so the cut is total-ordered and
+    deterministic.  Columns: ngram, n_occurrences."""
+    occ = _spread(docs).select(
+        F.explode(_ngrams_expr(tokens_expr(text_col), n)).alias("ngram")
+    )
+    return (
+        occ.groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    tau: float = 0.5,
+    text_col: str = "text",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: for each doc, the fraction of its
+    distinct word n-gram shingles that also occur anywhere in the
+    ``benchmark`` corpus; docs at/above ``tau`` are flagged.
+
+    Columns: doc_id, n_shingles, n_hit, contamination (rounded to 6),
+    contaminated (0/1 int on the ROUNDED value, so the flag is
+    reproducible across engines).  Docs with fewer than n tokens have
+    0 shingles and contamination 0.0.
+    """
+    bench_sh = (
+        doc_shingles(benchmark, n, text_col)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    scored = (
+        doc_shingles(docs, n, text_col)
+        .join(bench_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+        )
+    )
+    contamination = F.coalesce(
+        F.round(F.col("n_hit") / F.col("n_shingles"), 6), F.lit(0.0)
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            contamination.alias("contamination"),
+            (contamination >= F.lit(tau)).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def source_dup_stats(
+    docs: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source cross-source duplication rate: for each source, how
+    many of its docs have content (by md5) that also appears under at
+    least one OTHER source — the fork/mirror-detection statistic for a
+    multi-source crawl.  Columns: source, n_docs, n_cross_dup,
+    cross_dup_frac (rounded to 6)."""
+    th = docs.select(
+        F.col(source_col).alias("source"), F.md5(F.col(text_col)).alias("h")
+    )
+    ns = th.groupBy("h").agg(F.count_distinct("source").alias("_ns"))
+    return (
+        th.join(ns, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("_ns") > 1).cast("long")).alias("n_cross_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_cross_dup",
+            F.round(F.col("n_cross_dup") / F.col("n_docs"), 6).alias(
+                "cross_dup_frac"
+            ),
+        )
+    )
