@@ -57,14 +57,29 @@ def main() -> int:
     embeddings = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_docs_sf = documents.count()  # warms the FS cache out of the timings
 
-    # steady-state warm-up: spawn a python worker / Arrow serializer on
-    # every slot before the clock starts
+    # steady-state warm-up: an untimed SMALL full build spins up a
+    # python worker / Arrow serializer on every slot AND takes the JIT
+    # hit on every stage the measured build runs (id-range shuffle,
+    # JVM tokenizer, encoder mapInPandas, merge, parquet write, stats).
+    # Measured: the first build in a fresh JVM runs ~1.5-1.8x its own
+    # steady state purely from compilation — warm-up variance, not
+    # engine throughput, so it stays outside the clock.
     warm = (
         synthetic_docs_src(spark, cpus * 16)
         .repartition(cpus)
         .withColumn("doc_id", F.monotonically_increasing_id())
     )
     build_postings(warm).groupBy("term").count().count()
+    warm_out = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        build(
+            spark,
+            synthetic_docs_src(spark, max(2000, cpus * 64)),
+            warm_out,
+            write_chunks=True,
+        )
+    finally:
+        shutil.rmtree(warm_out, ignore_errors=True)
 
     timings: dict[str, float] = {}
     t_all = time.time()
