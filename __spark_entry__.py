@@ -685,6 +685,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
         )
 
+    def code_subtokens_q(spark, sf_dir):
+        # identifier subtoken postings: camelCase / UPPERRun /
+        # snake_case / digit boundaries split BEFORE tokenization, so a
+        # code corpus's long identifiers survive the length filter
+        # (reference main.c:104-123 drops >15-char tokens whole).
+        # Identifiers are planted — the shared corpus has none.
+        from invertedindexbuilder_spark.functions.code import subtokens
+
+        d = _documents(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.lit(
+                        " getUserAccountManager parse_HTML_fast"
+                        " HTTPServer2 utf8Decoder"
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return (
+            d.select("doc_id", F.explode(subtokens(F.col("text"))).alias("subtoken"))
+            .groupBy("doc_id", "subtoken")
+            .agg(F.count("*").cast("long").alias("tf"))
+        )
+
+    def code_stats_q(spark, sf_dir):
+        # per-line metrics (StarCoder/Codex pre-filters) over a corpus
+        # with planted line structure (even doc_ids: spaces -> newlines)
+        from invertedindexbuilder_spark.functions.code import (
+            alnum_fraction,
+            code_line_stats,
+        )
+
+        d = _documents(spark, sf_dir).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 2 == 0, F.translate(F.col("text"), " ", "\n")
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        n_lines, max_len, mean_len = code_line_stats(F.col("text"))
+        return d.select(
+            "doc_id",
+            n_lines.alias("n_lines"),
+            max_len.alias("max_line_len"),
+            mean_len.alias("mean_line_len"),
+            alnum_fraction(F.col("text")).alias("alnum_frac"),
+        )
+
     def source_dup_stats_q(spark, sf_dir):
         # cross-source duplication with planted fork copies of the
         # first 20 docs under a synthetic 'planted' source
@@ -997,6 +1049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": decontaminate_q,
         "pii_scrub": pii_scrub_q,
         "source_dup_stats": source_dup_stats_q,
+        "code_subtokens": code_subtokens_q,
+        "code_stats": code_stats_q,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1039,6 +1093,12 @@ _COS_AB = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from invertedindexbuilder_spark.functions.code import (
+        ALPHA_NUM as _ALPHA_NUM,
+        CAMEL_1 as _CAMEL_1,
+        CAMEL_2 as _CAMEL_2,
+        NUM_ALPHA as _NUM_ALPHA,
+    )
     from invertedindexbuilder_spark.functions.text import (
         EMAIL_PATTERN as _EMAIL_P,
         PHONE_PATTERN as _PHONE_P,
@@ -1202,6 +1262,38 @@ def oracle_sql() -> dict[str, str]:
             f"len(regexp_extract_all(text, '{_PHONE_P}'))::BIGINT AS n_phones, "
             f"md5(regexp_replace(regexp_replace(text, '{_EMAIL_P}', '<EMAIL>', 'g'), "
             f"'{_PHONE_P}', '<PHONE>', 'g')) AS redacted_md5 FROM pp"
+        ),
+        "code_subtokens": (
+            "WITH d AS (SELECT doc_id, text || "
+            "CASE WHEN doc_id % 5 = 0 THEN ' getUserAccountManager "
+            "parse_HTML_fast HTTPServer2 utf8Decoder' ELSE '' END AS text "
+            "FROM documents), "
+            "s AS (SELECT doc_id, lower(regexp_replace(regexp_replace("
+            "regexp_replace(regexp_replace(regexp_replace(text, "
+            f"'{_CAMEL_2}', '\\1 \\2', 'g'), "
+            f"'{_CAMEL_1}', '\\1 \\2', 'g'), "
+            f"'{_ALPHA_NUM}', '\\1 \\2', 'g'), "
+            f"'{_NUM_ALPHA}', '\\1 \\2', 'g'), "
+            "'_', ' ', 'g')) AS t FROM d), "
+            "tok AS (SELECT doc_id, unnest(regexp_extract_all(t, '[a-z0-9]+')) "
+            "AS subtoken FROM s) "
+            "SELECT doc_id, subtoken, count(*)::BIGINT AS tf FROM tok "
+            "GROUP BY doc_id, subtoken"
+        ),
+        "code_stats": (
+            "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 "
+            "THEN translate(text, ' ', chr(10)) ELSE text END AS text "
+            "FROM documents), "
+            "l AS (SELECT doc_id, text, "
+            "list_transform(string_split(text, chr(10)), x -> length(x)) AS ll "
+            "FROM d) "
+            "SELECT doc_id, len(ll)::BIGINT AS n_lines, "
+            "list_max(ll)::BIGINT AS max_line_len, "
+            "round(list_sum(ll) * 1.0 / len(ll), 6) AS mean_line_len, "
+            "CASE WHEN length(text) > 0 THEN round(length("
+            "regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 1.0 "
+            "/ length(text), 6) ELSE 1.0 END AS alnum_frac "
+            "FROM l"
         ),
         "source_dup_stats": (
             "WITH sd AS (SELECT source, text FROM documents UNION ALL "
