@@ -791,6 +791,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             probe_all=False, n_probes=5,
         )
 
+    def ann_kmeans(spark, sf_dir):
+        # trained-IVF (distributed Lloyd's) with probe_all: the cell
+        # assignment is exercised end-to-end and the result is exact,
+        # so centroid float jitter cannot leak into the gate; the
+        # pruned-probe recall story is measured in test_kmeans_ivf.py
+        from invertedindexbuilder_spark.operators.similarity import (
+            ivf_kmeans_topk,
+        )
+
+        return ivf_kmeans_topk(
+            _embeddings(spark, sf_dir), query_vec_id=0, k=10,
+            n_cells=8, iters=3, probe_all=True,
+        )
+
     def embed_near_dup(spark, sf_dir):
         from invertedindexbuilder_spark.operators.similarity import (
             embedding_near_dup,
@@ -1059,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf,
         "ann_ivf_probe1": ann_ivf_probe1,
         "ann_ivf_probe5": ann_ivf_probe5,
+        "ann_kmeans_topk": ann_kmeans,
         "embed_near_dup": embed_near_dup,
         "fingerprint_winnow": fingerprint_winnow,
         "lineitem_rollup": lineitem_rollup,
@@ -1362,6 +1377,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
         "ann_ivf_topk": (
+            "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings "
+            "WHERE vec_id = 0) "
+            "SELECT e.vec_id, round("
+            "list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+            "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) "
+            " * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine "
+            "FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0 "
+            "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        # probe_all trained IVF is exact by construction -> same twin
+        "ann_kmeans_topk": (
             "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings "
             "WHERE vec_id = 0) "
             "SELECT e.vec_id, round("

@@ -113,6 +113,127 @@ def ivf_topk(
     )
 
 
+def _sq_dist_expr(vec: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_cell_expr(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """0-based index of the nearest centroid (squared L2, first-min tie
+    break).  Pure JVM expressions — k aggregate/zip_with chains, no
+    Python in the loop."""
+    darr = F.array(*[_sq_dist_expr(vec_col, c) for c in centroids])
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 9,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over an embedding column; returns
+    the k centroids (driver-side list — k x dim floats, tiny).
+
+    Per iteration: ONE job — assign cells via broadcast-literal
+    centroid expressions (JVM-side), posexplode to (cell, dim)
+    partial sums with map-side combine, collect k*dim aggregate rows.
+    Driver state is O(k * dim); nothing corpus-sized ever leaves the
+    executors.  At 100 TB, fit on ``embeddings.sample(...)`` (Lloyd's
+    converges on a sample) and assign the full corpus once with
+    :func:`kmeans_cell_expr`; the cell becomes a partition key so
+    probes prune file listings.
+
+    Determinism: init is the k lowest-id vectors (reproducible, unlike
+    k-means++ sampling); per-update components are rounded to
+    ``round_digits`` so double-sum reduction-order jitter (~1e-15)
+    cannot leak into the returned centroids on well-separated data.
+    Empty clusters keep their previous centroid.
+    """
+    vecs = embeddings.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    ).persist()
+    try:
+        cents = [list(r["_v"]) for r in vecs.orderBy("_id").limit(k).collect()]
+        if len(cents) < k:
+            raise ValueError(f"k={k} but only {len(cents)} vectors")
+        for _ in range(iters):
+            rows = (
+                vecs.select(
+                    kmeans_cell_expr(F.col("_v"), cents).alias("_c"),
+                    F.posexplode("_v").alias("_p", "_x"),
+                )
+                .groupBy("_c", "_p")
+                .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, tuple[float, int]]] = {}
+            for r in rows:
+                by_cell.setdefault(int(r["_c"]), {})[int(r["_p"])] = (
+                    float(r["_s"]),
+                    int(r["_n"]),
+                )
+            for c, dims in by_cell.items():
+                cents[c] = [
+                    round(dims[p][0] / dims[p][1], round_digits)
+                    for p in sorted(dims)
+                ]
+        return cents
+    finally:
+        vecs.unpersist()
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 8,
+    iters: int = 5,
+    n_probes: int = 1,
+    probe_all: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with TRAINED (k-means) cells instead of the fixed sign
+    grid — data-adaptive Voronoi cells give the same recall at fewer
+    probes on clustered embeddings (measured in test_kmeans_ivf.py).
+    Probes the ``n_probes`` cells whose centroids are nearest the
+    query vector (driver-side: O(k * dim)).  ``probe_all=True``
+    degenerates to exact search — the oracle-gated configuration."""
+    if centroids is None:
+        centroids = kmeans_fit(
+            embeddings, n_cells, iters, id_col=id_col, vec_col=vec_col
+        )
+    with_cell = embeddings.withColumn(
+        "_cell", kmeans_cell_expr(_as_double(F.col(vec_col)), centroids)
+    )
+    if not probe_all:
+        qv = [
+            float(x)
+            for x in embeddings.filter(F.col(id_col) == query_vec_id)
+            .select(vec_col)
+            .collect()[0][0]
+        ]
+        d = [
+            sum((a - b) * (a - b) for a, b in zip(qv, c, strict=True))
+            for c in centroids
+        ]
+        probes = sorted(range(len(centroids)), key=lambda j: (d[j], j))[
+            : max(1, n_probes)
+        ]
+        with_cell = with_cell.filter(F.col("_cell").isin(probes))
+    return cosine_topk(
+        with_cell.drop("_cell"), query_vec_id, k, id_col=id_col, vec_col=vec_col
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.9,
