@@ -737,6 +737,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             alnum_fraction(F.col("text")).alias("alnum_frac"),
         )
 
+    def phrase_search_q(spark, sf_dir):
+        # positional phrase query (3 consecutive tokens) over
+        # positional postings — the index class the reference computes
+        # positions for but never stores (main.c:85-126)
+        from invertedindexbuilder_spark.operators.textsearch import (
+            phrase_match,
+        )
+
+        return phrase_match(
+            _documents(spark, sf_dir).select("doc_id", "text"),
+            "slow hash batch",
+        )
+
+    def substring_search_q(spark, sf_dir):
+        # trigram-index substring search (Zoekt design): candidates
+        # from trigram-posting intersection, exact contains verify
+        from invertedindexbuilder_spark.operators.textsearch import (
+            substring_search,
+        )
+
+        return substring_search(
+            _documents(spark, sf_dir).select("doc_id", "text"), "le part"
+        )
+
     def source_dup_stats_q(spark, sf_dir):
         # cross-source duplication with planted fork copies of the
         # first 20 docs under a synthetic 'planted' source
@@ -1065,6 +1089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_dup_stats": source_dup_stats_q,
         "code_subtokens": code_subtokens_q,
         "code_stats": code_stats_q,
+        "phrase_search": phrase_search_q,
+        "substring_search": substring_search_q,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1309,6 +1335,20 @@ def oracle_sql() -> dict[str, str]:
             "regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 1.0 "
             "/ length(text), 6) ELSE 1.0 END AS alnum_frac "
             "FROM l"
+        ),
+        "phrase_search": (
+            "WITH w AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents), "
+            "m AS (SELECT doc_id, len(list_filter("
+            "generate_series(1, len(l) - 2), "
+            "i -> l[i] = 'slow' AND l[i+1] = 'hash' AND l[i+2] = 'batch'"
+            "))::BIGINT AS n_occurrences FROM w WHERE len(l) >= 3) "
+            "SELECT doc_id, n_occurrences FROM m WHERE n_occurrences > 0"
+        ),
+        "substring_search": (
+            "SELECT doc_id, ((length(text) - "
+            "length(replace(text, 'le part', ''))) / length('le part'))::BIGINT "
+            "AS n_occurrences FROM documents WHERE contains(text, 'le part')"
         ),
         "source_dup_stats": (
             "WITH sd AS (SELECT source, text FROM documents UNION ALL "
