@@ -761,6 +761,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(spark, sf_dir).select("doc_id", "text"), "le part"
         )
 
+    def fuzzy_terms_q(spark, sf_dir):
+        # typo-tolerant vocabulary lookup (SymSpell deletion join):
+        # candidates from shared deletion variants, exact levenshtein
+        # verify on candidates only
+        from invertedindexbuilder_spark.operators.dedup import tokens_expr
+        from invertedindexbuilder_spark.operators.textsearch import (
+            fuzzy_term_match,
+        )
+
+        vocab = _documents(spark, sf_dir).select(
+            F.explode(tokens_expr("text")).alias("term")
+        )
+        return fuzzy_term_match(vocab, "tables", max_dist=1)
+
+    def prefix_terms_q(spark, sf_dir):
+        from invertedindexbuilder_spark.operators.dedup import tokens_expr
+        from invertedindexbuilder_spark.operators.textsearch import (
+            prefix_terms,
+        )
+
+        vocab = _documents(spark, sf_dir).select(
+            F.explode(tokens_expr("text")).alias("term")
+        )
+        return prefix_terms(vocab, "s")
+
     def source_dup_stats_q(spark, sf_dir):
         # cross-source duplication with planted fork copies of the
         # first 20 docs under a synthetic 'planted' source
@@ -1091,6 +1116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_stats": code_stats_q,
         "phrase_search": phrase_search_q,
         "substring_search": substring_search_q,
+        "fuzzy_terms": fuzzy_terms_q,
+        "prefix_terms": prefix_terms_q,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1349,6 +1376,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, ((length(text) - "
             "length(replace(text, 'le part', ''))) / length('le part'))::BIGINT "
             "AS n_occurrences FROM documents WHERE contains(text, 'le part')"
+        ),
+        "fuzzy_terms": (
+            "WITH tok AS (SELECT DISTINCT unnest("
+            "regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+            "FROM documents) "
+            "SELECT term, levenshtein(term, 'tables')::INT AS distance "
+            "FROM tok WHERE levenshtein(term, 'tables') <= 1"
+        ),
+        "prefix_terms": (
+            "WITH tok AS (SELECT DISTINCT unnest("
+            "regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+            "FROM documents) "
+            "SELECT term FROM tok WHERE starts_with(term, 's')"
         ),
         "source_dup_stats": (
             "WITH sd AS (SELECT source, text FROM documents UNION ALL "

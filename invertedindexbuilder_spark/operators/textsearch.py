@@ -98,6 +98,96 @@ def phrase_match(
     )
 
 
+def _deletion_variants_expr(term, max_dist: int):
+    """Array of strings reachable from ``term`` by deleting up to
+    ``max_dist`` characters (the term itself included).  max_dist<=2
+    supported — the SymSpell observation: two terms are within edit
+    distance d iff they share a variant obtained by <=d deletions
+    from each, so a join on variants finds every candidate pair
+    without comparing all terms."""
+    base = F.col(term) if isinstance(term, str) else term
+    n = F.length(base)
+    del1 = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            base.substr(F.lit(1), i - 1), base.substr(i + 1, n)
+        ),
+    )
+    out = F.concat(F.array(base), del1)
+    if max_dist >= 2:
+        del2 = F.flatten(
+            F.transform(
+                del1,
+                lambda s: F.transform(
+                    F.sequence(F.lit(1), F.length(s)),
+                    lambda i: F.concat(
+                        s.substr(F.lit(1), i - 1), s.substr(i + 1, F.length(s))
+                    ),
+                ),
+            )
+        )
+        out = F.concat(out, del2)
+    return F.array_distinct(out)
+
+
+def fuzzy_term_match(
+    terms: DataFrame,
+    query: str,
+    max_dist: int = 1,
+    term_col: str = "term",
+) -> DataFrame:
+    """Vocabulary terms within Levenshtein distance ``max_dist`` of
+    ``query`` (typo-tolerant lookup for search-as-you-type / query
+    correction).  Returns (term, distance), exact-verified.
+
+    Scale shape (SymSpell): the vocabulary side explodes into its
+    deletion variants ONCE (materializable as the fuzzy index, size
+    O(|vocab| * avg_len^max_dist)); the query's variants are a tiny
+    driver-side IN-list that pushes into the variant scan, so lookup
+    cost is proportional to candidates sharing a variant — never a
+    full-vocabulary Levenshtein scan.  The final
+    ``levenshtein() <= max_dist`` verify runs on candidates only
+    (deletion sharing is necessary, not sufficient)."""
+    if not query:
+        raise ValueError("empty query")
+    qv = {query}
+    for _ in range(max_dist):
+        qv |= {v[:i] + v[i + 1 :] for v in list(qv) for i in range(len(v))}
+    cands = (
+        terms.select(F.col(term_col).alias("term"))
+        .distinct()
+        .select(
+            "term",
+            F.explode(_deletion_variants_expr("term", max_dist)).alias("_v"),
+        )
+        .filter(F.col("_v").isin(sorted(qv)))
+        .select("term")
+        .distinct()
+    )
+    return (
+        cands.select(
+            "term", F.levenshtein(F.col("term"), F.lit(query)).alias("distance")
+        )
+        .filter(F.col("distance") <= max_dist)
+    )
+
+
+def prefix_terms(
+    terms: DataFrame, prefix: str, term_col: str = "term"
+) -> DataFrame:
+    """Vocabulary terms starting with ``prefix`` (wildcard ``pre*``
+    lookup).  startswith compiles to a [prefix, prefix+0xFF) range on a
+    term-sorted/partitioned lexicon — file-pruning at scale, which is
+    how the merged index's term-range pushdown already serves Q2."""
+    if not prefix:
+        raise ValueError("empty prefix")
+    return (
+        terms.select(F.col(term_col).alias("term"))
+        .distinct()
+        .filter(F.col("term").startswith(prefix))
+    )
+
+
 def char_trigram_postings(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
