@@ -176,6 +176,33 @@ def main() -> int:
         cosine_topk(embeddings, query_vec_id=0, k=10).collect()
         timings["ann_cosine"] = time.time() - t0
 
+        # ---- q8: curation + search extensions over documents ----
+        from invertedindexbuilder_spark.operators.curation import (
+            decontaminate,
+            repetition_stats,
+        )
+        from invertedindexbuilder_spark.operators.textsearch import (
+            phrase_match,
+            substring_search,
+        )
+
+        d = documents.select("doc_id", "text")
+        t0 = time.time()
+        repetition_stats(d).count()
+        timings["repetition_stats"] = time.time() - t0
+        t0 = time.time()
+        decontaminate(
+            d.filter(F.col("doc_id") % 97 != 0),
+            d.filter(F.col("doc_id") % 97 == 0),
+        ).count()
+        timings["decontaminate"] = time.time() - t0
+        t0 = time.time()
+        phrase_match(d, "slow hash batch").count()
+        timings["phrase_search"] = time.time() - t0
+        t0 = time.time()
+        substring_search(d, "le part").count()
+        timings["substring_search"] = time.time() - t0
+
         total = time.time() - t_all
         build_s = timings["build_index"]
         print(
