@@ -184,6 +184,11 @@ def build(
         cat.write(prepare_docs(docs_src, cache_scope=scope), "docs")
         scope.release()  # docs table is durable; drop THIS build's cache
         agg = docs_fp(cat.read("docs"))
+        if not agg["n"]:
+            raise ValueError(
+                "no documents to index: the source (after the URL filter) "
+                "is empty — check upstream filters/curation"
+            )
         fp = f"n={agg['n']},h={agg['h']}"
         manifest.record(
             "docs",

@@ -1,0 +1,151 @@
+"""User-facing corpus-curation plan: docs_src -> keep_list + removals
++ report, the staged pre-index pipeline of a training-data run.
+
+Design (the 100 TB posture): curation NEVER copies content.  The
+outputs are a ``keep_list`` (doc_id) and a ``removals`` (doc_id,
+reason) table plus per-stage metrics in ``manifest.json``; the curated
+corpus is a semi-join view (:func:`curated_docs`) against the durable
+source table — exactly how ``plans.build`` treats its metadata-only
+docs table.  Feeding the view to ``plans.build.build`` indexes the
+curated corpus with zero extra materialization
+(tests/test_curate_plan.py round-trips this).
+
+Stages run SEQUENTIALLY on the surviving set, so each doc is removed
+by exactly one stage (first-match attribution) and later, more
+expensive stages (near-dup LSH) see only survivors of cheaper ones
+(exact dedup, lang, quality) — the standard cost ordering.  Stage
+outputs are id-only frames; nothing corpus-sized is ever collected or
+cached.
+
+Resume: same fingerprint contract as the build plan — re-running over
+an unchanged source is a no-op; kill/rerun mid-plan restarts cleanly
+(stages before the final write leave no partial state because only the
+final keep_list/removals tables are written at all).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from invertedindexbuilder_spark.catalog import Catalog
+from invertedindexbuilder_spark.functions.text import lang_id, quality_score
+from invertedindexbuilder_spark.operators.curation import repetition_stats
+from invertedindexbuilder_spark.operators.dedup import minhash_dedup
+from invertedindexbuilder_spark.operators.docids import SORT_KEYS, attach_doc_ids, doc_id_map
+from invertedindexbuilder_spark.plans.build import BuildManifest, _fingerprint
+
+
+def _ids_with_text(docs_src: DataFrame) -> DataFrame:
+    ids, total = doc_id_map(docs_src.select(*SORT_KEYS))
+    return attach_doc_ids(docs_src.select(*SORT_KEYS, "content"), ids, total).select(
+        "doc_id", F.coalesce(F.col("content"), F.lit("")).alias("text")
+    )
+
+
+def curate(
+    spark: SparkSession,
+    docs_src: DataFrame,
+    out_root: str,
+    langs: list[str] | None = None,
+    min_quality: float | None = 0.2,
+    max_dup_word_frac: float | None = None,
+    exact_dedup: bool = True,
+    near_dup_threshold: float | None = 0.85,
+    hash_mode: str = "xxhash",
+) -> dict:
+    """Run (or resume) the curation pipeline; returns the manifest
+    dict whose ``curate`` phase carries the per-stage report:
+    ``docs_in``, ``removed_<stage>`` counts in application order
+    (exact_dup, lang, quality, repetition, near_dup), ``docs_out``.
+
+    ``None`` disables a stage.  Doc ids are the same deterministic
+    key-order ids the build plan assigns, so a keep_list computed here
+    matches the ids of a subsequent index build over the same source.
+    """
+    cat = Catalog(spark, out_root)
+    manifest = BuildManifest(out_root)
+    fp = _fingerprint(docs_src, SORT_KEYS)
+    if manifest.phase_done("curate", fp) and cat.exists("keep_list"):
+        return manifest.data
+
+    t0 = time.time()
+    d = _ids_with_text(docs_src).persist()
+    report: dict[str, int] = {"docs_in": d.count()}
+    survivors = d.select("doc_id")
+    removal_frames: list[DataFrame] = []
+
+    def apply_stage(name: str, losers: DataFrame) -> None:
+        nonlocal survivors
+        # id-only frames; localCheckpoint cuts the growing anti-join
+        # lineage and pins only ids
+        losers = (
+            losers.join(survivors, "doc_id", "left_semi")
+            .select("doc_id", F.lit(name).alias("reason"))
+            .localCheckpoint()
+        )
+        removal_frames.append(losers)
+        report[f"removed_{name}"] = losers.count()
+        survivors = survivors.join(losers, "doc_id", "left_anti").localCheckpoint()
+
+    if exact_dedup:
+        sha = d.select("doc_id", F.sha2("text", 256).alias("_sha"))
+        keep = sha.groupBy("_sha").agg(F.min("doc_id").alias("_keep"))
+        apply_stage(
+            "exact_dup",
+            sha.join(keep, "_sha").filter(F.col("doc_id") != F.col("_keep")).select("doc_id"),
+        )
+    if langs is not None:
+        apply_stage(
+            "lang",
+            d.filter(~lang_id(F.col("text")).isin(langs)).select("doc_id"),
+        )
+    if min_quality is not None:
+        apply_stage(
+            "quality",
+            d.filter(quality_score(F.col("text")) < min_quality).select("doc_id"),
+        )
+    if max_dup_word_frac is not None:
+        rep = repetition_stats(d)
+        apply_stage(
+            "repetition",
+            rep.filter(F.col("dup_word_frac") > max_dup_word_frac).select("doc_id"),
+        )
+    if near_dup_threshold is not None:
+        # the expensive stage runs LAST, on survivors only
+        dd = d.join(survivors, "doc_id", "left_semi")
+        pairs = minhash_dedup(dd, threshold=near_dup_threshold, hash_mode=hash_mode)
+        apply_stage(
+            "near_dup",
+            pairs.select(F.greatest("doc_a", "doc_b").alias("doc_id")).distinct(),
+        )
+
+    report["docs_out"] = survivors.count()
+    removals = (
+        removal_frames[0]
+        if removal_frames
+        else spark.createDataFrame([], "doc_id long, reason string")
+    )
+    for f in removal_frames[1:]:
+        removals = removals.unionByName(f)
+    cat.write(removals, "removals")
+    cat.write(survivors.select("doc_id"), "keep_list")
+    d.unpersist()
+    manifest.record(
+        "curate", fp, {**report, "wall_s": round(time.time() - t0, 3)}
+    )
+    return manifest.data
+
+
+def curated_docs(
+    spark: SparkSession, docs_src: DataFrame, out_root: str
+) -> DataFrame:
+    """The curated corpus as a VIEW: source rows whose deterministic
+    doc_id is in the keep_list (content never copied).  The result has
+    the docs_src shape, directly feedable to ``plans.build.build``."""
+    keep = Catalog(spark, out_root).read("keep_list")
+    ids, total = doc_id_map(docs_src.select(*SORT_KEYS))
+    with_ids = attach_doc_ids(docs_src, ids, total)
+    return with_ids.join(keep, "doc_id", "left_semi").drop("doc_id")
