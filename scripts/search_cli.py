@@ -1,0 +1,103 @@
+"""spark-submit entry point: the search extensions over a docs table.
+
+    python scripts/search_cli.py --input /path/docs.parquet \
+        --mode phrase "slow hash batch"
+    ... --mode substring "le part"
+    ... --mode fuzzy --max-dist 2 tabel
+    ... --mode prefix tab
+    ... --mode subtoken getUserAccountManager
+
+The input is any parquet with (doc_id, text) columns — e.g. the shared
+``documents`` testdata table — or a docs_src-shaped table (repo, path,
+commit, content), auto-adapted.  Prints one JSON line per result row.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet with (doc_id, text)")
+    ap.add_argument("--mode", required=True,
+                    choices=["phrase", "substring", "fuzzy", "prefix", "subtoken"])
+    ap.add_argument("--max-dist", type=int, default=1, help="fuzzy edit distance")
+    ap.add_argument("--limit", type=int, default=20)
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("query", nargs="+")
+    args = ap.parse_args()
+    query = " ".join(args.query)
+
+    from pyspark.sql import functions as F
+
+    from invertedindexbuilder_spark.session import get_spark
+
+    spark = get_spark(app_name="search", cores=args.cores,
+                      shuffle_partitions=max(args.cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(args.input)
+    if "text" not in docs.columns and "content" in docs.columns:
+        docs = docs.withColumn("text", F.col("content"))
+    if "doc_id" not in docs.columns:
+        # docs_src shape: deterministic key-order ids, same as the build
+        from invertedindexbuilder_spark.operators.docids import (
+            SORT_KEYS,
+            attach_doc_ids,
+            doc_id_map,
+        )
+
+        ids, total = doc_id_map(docs.select(*SORT_KEYS))
+        docs = attach_doc_ids(docs, ids, total)
+    docs = docs.select("doc_id", "text")
+
+    from invertedindexbuilder_spark.operators.dedup import tokens_expr
+    from invertedindexbuilder_spark.operators.textsearch import (
+        fuzzy_term_match,
+        phrase_match,
+        prefix_terms,
+        substring_search,
+    )
+
+    if args.mode == "phrase":
+        out = phrase_match(docs, query).orderBy(
+            F.desc("n_occurrences"), "doc_id"
+        )
+    elif args.mode == "substring":
+        out = substring_search(docs, query).orderBy(
+            F.desc("n_occurrences"), "doc_id"
+        )
+    elif args.mode in ("fuzzy", "prefix"):
+        vocab = docs.select(F.explode(tokens_expr("text")).alias("term"))
+        if args.mode == "fuzzy":
+            out = fuzzy_term_match(vocab, query, args.max_dist).orderBy(
+                "distance", "term"
+            )
+        else:
+            out = prefix_terms(vocab, query).orderBy("term")
+    else:  # subtoken: show the identifier split (code-search debugging)
+        from invertedindexbuilder_spark.functions.code import subtokens
+
+        row = (
+            spark.createDataFrame([(query,)], "text string")
+            .select(subtokens(F.col("text")).alias("parts"))
+            .collect()[0]
+        )
+        print(json.dumps({"identifier": query, "subtokens": row["parts"]}))
+        spark.stop()
+        return 0
+
+    for r in out.limit(args.limit).collect():
+        print(json.dumps(r.asDict()))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
