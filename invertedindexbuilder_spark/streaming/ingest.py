@@ -127,6 +127,50 @@ def streaming_first_seen(docs_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_curate(
+    docs_stream: DataFrame,
+    langs: list[str] | None = None,
+    min_quality: float | None = None,
+    max_dup_word_frac: float | None = None,
+) -> DataFrame:
+    """In-stream curation: the batch plan's STATELESS filter stages
+    (language, quality, repetition — all pure column expressions from
+    functions/text.py and the curation tokenizer) applied to each
+    micro-batch, then the STATEFUL cross-batch exact dedup
+    (:func:`streaming_first_seen`).  Filters run first so junk never
+    reaches the state store; surviving rows carry their curation
+    metrics.  Output schema = FIRST_SEEN_OUT — each distinct curated
+    content emits exactly once.
+
+    Stage parity with plans/curate.py is pinned by
+    tests/test_streaming_curate.py: streaming survivors == the batch
+    plan's keep_list on the same corpus (near-dup excepted — LSH needs
+    corpus-wide buckets and stays a compaction-time batch stage, the
+    standard lambda split).
+    """
+    from invertedindexbuilder_spark.functions.text import (
+        lang_id,
+        quality_score,
+    )
+    from invertedindexbuilder_spark.operators.dedup import tokens_expr
+
+    d = docs_stream.withColumn(
+        "_text", F.coalesce(F.col("content"), F.lit(""))
+    )
+    if langs is not None:
+        d = d.filter(lang_id(F.col("_text")).isin(langs))
+    if min_quality is not None:
+        d = d.filter(quality_score(F.col("_text")) >= min_quality)
+    if max_dup_word_frac is not None:
+        w = tokens_expr("_text")
+        dup = F.when(
+            F.size(w) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(w)) / F.size(w),
+        ).otherwise(F.lit(0.0))
+        d = d.filter(dup <= max_dup_word_frac)
+    return streaming_first_seen(d.drop("_text"))
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",
