@@ -958,6 +958,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.element_at("last_doc_ids", -1).cast("long").alias("last_doc"),
         )
 
+    def index_federated(spark, sf_dir):
+        # federated shard merge: two shards built INDEPENDENTLY with
+        # their own dense ids; shard B's chunks rebase by +250 via the
+        # one-varbyte-per-chunk first-gap patch (shift_chunks), union,
+        # merge — the oracle sees only the corpus-wide result
+        from invertedindexbuilder_spark.operators.index_build import (
+            encode_chunks,
+            merge_chunks,
+            shift_chunks,
+        )
+
+        env = _built(spark, sf_dir)
+        shard_a = env["postings"].filter(F.col("doc_id") < 250)
+        shard_b = env["postings"].filter(F.col("doc_id") >= 250).withColumn(
+            "doc_id", F.col("doc_id") - 250  # shard-local dense ids
+        )
+        chunks_a = encode_chunks(shard_a, salt_threshold=64, chunk_blocks=1)
+        chunks_b = encode_chunks(shard_b, salt_threshold=64, chunk_blocks=1)
+        merged = merge_chunks(
+            chunks_a.unionByName(shift_chunks(chunks_b, 250))
+        )
+        return merged.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.element_at("last_doc_ids", -1).cast("long").alias("last_doc"),
+        )
+
     def events_hourly(spark, sf_dir):
         # tumbling time-window aggregate (batch twin of the streaming
         # windowed_event_counts); session tz is pinned UTC so both
@@ -1132,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_rollup": lineitem_rollup,
         "sessionize": sessionize,
         "index_compacted": index_compacted,
+        "index_federated": index_federated,
         "events_hourly": events_hourly,
         "curated_corpus": curated_corpus,
         "asof_latest_order": asof_latest_order,
@@ -1563,6 +1591,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM sid GROUP BY user_id, session_id"
         ),
         "index_compacted": (
+            f"WITH {TOKENIZE_CTE} SELECT term, count(*)::BIGINT AS df, "
+            "max(doc_id)::BIGINT AS last_doc FROM postings GROUP BY term"
+        ),
+        # the federated merge must reproduce the same corpus-wide view
+        "index_federated": (
             f"WITH {TOKENIZE_CTE} SELECT term, count(*)::BIGINT AS df, "
             "max(doc_id)::BIGINT AS last_doc FROM postings GROUP BY term"
         ),

@@ -474,6 +474,48 @@ def merge_chunks(chunks: DataFrame, fanin: int | None = None) -> DataFrame:
     return chunks.groupBy("term").applyInPandas(merge_fn, schema=INDEX)
 
 
+def shift_chunks(chunks: DataFrame, offset: int) -> DataFrame:
+    """Rebase every chunk's doc ids by ``+offset`` WITHOUT re-encoding
+    postings.  Doc ids inside a chunk are a gap (delta) chain whose
+    base is the chunk's absolute first varbyte, so a corpus-wide id
+    shift rewrites exactly ONE varbyte per chunk (the same first-gap
+    patch merge_chunks applies when concatenating chunks) plus the
+    metadata columns — O(#chunks) work, narrow mapInPandas, no
+    shuffle, payload bytes otherwise untouched.  This is what makes a
+    federated index merge (plans.build.merge_builds) metadata-cheap."""
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
+    if offset == 0:
+        return chunks
+    cols = list(INDEX_CHUNK.fieldNames())
+
+    def patch(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            firsts, lasts, bbs, payloads = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                old_first = int(r.first_doc_id)
+                new_first = old_first + offset
+                old_len = int(vb_byte_lengths(np.array([old_first]))[0])
+                patched = vb_encode(np.array([new_first], dtype=np.int64))
+                pay = patched + bytes(r.payload)[old_len:]
+                bb = [int(x) for x in r.block_bytes]
+                bb[0] += len(patched) - old_len
+                firsts.append(new_first)
+                lasts.append([int(x) + offset for x in r.last_doc_ids])
+                bbs.append(bb)
+                payloads.append(pay)
+            out = pdf.copy()
+            out["first_doc_id"] = firsts
+            out["last_doc_ids"] = lasts
+            out["block_bytes"] = bbs
+            out["payload"] = payloads
+            yield out[cols]
+
+    return chunks.select(*cols).mapInPandas(patch, schema=INDEX_CHUNK)
+
+
 def compact_chunks(
     old_chunks: DataFrame,
     delta_postings: DataFrame,

@@ -645,6 +645,99 @@ def compact(
     return manifest.data
 
 
+def merge_builds(
+    spark: SparkSession,
+    root_a: str,
+    root_b: str,
+    out_root: str,
+    merged: bool = False,
+    validate: bool = True,
+) -> dict:
+    """FEDERATED index merge: two independent chunked builds over
+    DISJOINT corpora (each with its own dense ids 0..n-1) become one
+    build at ``out_root`` — the shard-and-merge pattern for building a
+    10^12-doc index as independent jobs.
+
+    Cost is metadata-only: shard B's doc ids shift by ``n_docs(A)``
+    via :func:`operators.index_build.shift_chunks`, which rewrites ONE
+    varbyte per chunk (the absolute first gap — everything after it is
+    a delta chain, so the shift never touches posting bytes); docs
+    tables union with the same id offset; stats recompute from shard
+    stats plus one metadata aggregate over the unioned chunk table.
+    No postings are decoded, re-sorted, or re-encoded.
+
+    ``merged=True`` additionally derives the one-row-per-term
+    reference-parity index (tree-merged).  ``validate`` rejects shards
+    sharing any (repo, path, commit) key — a doc present in both
+    shards would be indexed twice under two ids.
+    """
+    from invertedindexbuilder_spark.operators.index_build import shift_chunks
+
+    cat_a, cat_b = Catalog(spark, root_a), Catalog(spark, root_b)
+    cat = Catalog(spark, out_root)
+    for c, r in ((cat_a, root_a), (cat_b, root_b)):
+        if not c.exists("index_chunks"):
+            raise ValueError(
+                f"merge_builds requires chunked builds (no index_chunks "
+                f"under {r}; build with write_chunks=True)"
+            )
+    sa, sb = load_stats(spark, root_a), load_stats(spark, root_b)
+    n_a = int(sa["n_docs"])
+    t0 = time.time()
+    if validate:
+        dup = (
+            cat_a.read("docs")
+            .select(*SORT_KEYS)
+            .join(cat_b.read("docs").select(*SORT_KEYS), SORT_KEYS, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "shards share (repo, path, commit) keys — merging would "
+                "index the same document twice under two doc_ids"
+            )
+    docs_b = cat_b.read("docs").withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(n_a)).cast("long")
+    )
+    cat.write(cat_a.read("docs").unionByName(docs_b), "docs")
+    chunks = cat_a.read("index_chunks").unionByName(
+        shift_chunks(cat_b.read("index_chunks"), n_a)
+    )
+    cat.write(chunks, "index_chunks")
+    if merged:
+        from invertedindexbuilder_spark.operators.index_build import merge_chunks
+
+        cat.write(
+            merge_chunks(cat.read("index_chunks"), fanin=DEFAULT_MERGE_FANIN),
+            "index",
+        )
+    m = cat.read("index_chunks").agg(
+        F.count_distinct("term").alias("terms"), F.sum("df").alias("postings")
+    ).collect()[0]
+    _write_stats(
+        spark,
+        cat,
+        n_a + int(sb["n_docs"]),
+        int(sa["sum_doc_len"]) + int(sb["sum_doc_len"]),
+        m,
+        min(int(sa["min_doc_len"]), int(sb["min_doc_len"])),
+    )
+    manifest = BuildManifest(out_root)
+    manifest.record(
+        "merge_builds",
+        f"a={root_a},b={root_b}",
+        {
+            "n_docs": n_a + int(sb["n_docs"]),
+            "terms": int(m["terms"]),
+            "postings": int(m["postings"]),
+            "merged": merged,
+            "wall_s": round(time.time() - t0, 3),
+        },
+    )
+    return manifest.data
+
+
 _STATS_SCHEMA = (
     "n_docs long, sum_doc_len long, n_terms long, n_postings long, "
     "min_doc_len long"
