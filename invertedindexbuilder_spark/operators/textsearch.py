@@ -130,11 +130,30 @@ def _deletion_variants_expr(term, max_dist: int):
     return F.array_distinct(out)
 
 
+def term_deletion_variants(
+    terms: DataFrame, max_dist: int = 1, term_col: str = "term"
+) -> DataFrame:
+    """The materializable fuzzy index: (term, variant) for every
+    deletion variant — write it partitioned/sorted by variant and
+    fuzzy lookups become pruned scans."""
+    return (
+        terms.select(F.col(term_col).alias("term"))
+        .distinct()
+        .select(
+            "term",
+            F.explode(_deletion_variants_expr("term", max_dist)).alias(
+                "variant"
+            ),
+        )
+    )
+
+
 def fuzzy_term_match(
     terms: DataFrame,
     query: str,
     max_dist: int = 1,
     term_col: str = "term",
+    variants: DataFrame | None = None,
 ) -> DataFrame:
     """Vocabulary terms within Levenshtein distance ``max_dist`` of
     ``query`` (typo-tolerant lookup for search-as-you-type / query
@@ -153,14 +172,13 @@ def fuzzy_term_match(
     qv = {query}
     for _ in range(max_dist):
         qv |= {v[:i] + v[i + 1 :] for v in list(qv) for i in range(len(v))}
+    var = (
+        variants
+        if variants is not None
+        else term_deletion_variants(terms, max_dist, term_col)
+    )
     cands = (
-        terms.select(F.col(term_col).alias("term"))
-        .distinct()
-        .select(
-            "term",
-            F.explode(_deletion_variants_expr("term", max_dist)).alias("_v"),
-        )
-        .filter(F.col("_v").isin(sorted(qv)))
+        var.filter(F.col("variant").isin(sorted(qv)))
         .select("term")
         .distinct()
     )

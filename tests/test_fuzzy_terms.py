@@ -60,6 +60,23 @@ def test_fuzzy_single_char_and_dupes(spark):
     assert fuzzy_term_match(t, "a", 1).count() == 3
 
 
+def test_fuzzy_uses_materialized_variant_index(spark, tmp_path):
+    """A pre-written (term, variant) parquet serves lookups with the
+    variant IN-list pushed to the scan, same results as inline."""
+    from invertedindexbuilder_spark.operators.textsearch import (
+        term_deletion_variants,
+    )
+
+    root = str(tmp_path / "fuzzy_idx")
+    term_deletion_variants(_terms(spark), max_dist=1).write.parquet(root)
+    var = spark.read.parquet(root)
+    out = fuzzy_term_match(_terms(spark), "table", 1, variants=var)
+    got = {r["term"]: r["distance"] for r in out.collect()}
+    assert got == _brute("table", 1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(variant" in plan.replace(" ", "")
+
+
 def test_prefix_terms(spark):
     got = {r["term"] for r in prefix_terms(_terms(spark), "tab").collect()}
     assert got == {"table", "tables", "tablet"}

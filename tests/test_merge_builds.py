@@ -54,6 +54,20 @@ def test_shift_chunks_decode_identity(spark, tmp_out):
             assert ta == tb
 
 
+def test_shift_chunks_plan_has_no_exchange(spark, tmp_out):
+    """The rebase is narrow: reading chunks -> patched chunks must plan
+    without any shuffle exchange (the metadata-only-merge guarantee)."""
+    build(spark, synthetic_docs_src(spark, 40), tmp_out, write_chunks=True)
+    chunks = Catalog(spark, tmp_out).read("index_chunks")
+    plan = (
+        shift_chunks(chunks, 7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_shift_zero_is_identity(spark, tmp_out):
     build(spark, synthetic_docs_src(spark, 40), tmp_out, write_chunks=True)
     chunks = Catalog(spark, tmp_out).read("index_chunks")
