@@ -91,9 +91,18 @@ agg AS (
 )
 
 
-def _bm25_sql(qterms: list[tuple[str, int]], mode: str, k: int) -> str:
+def _bm25_sql(
+    qterms: list[tuple[str, int]], mode: str, k: int, extra: str = ""
+) -> str:
+    """``extra``: additional predicate ANDed into the final agg filter
+    (NOT-term exclusion, faceted doc filters)."""
     vals = ", ".join(f"('{t}', {w})" for t, w in qterms)
-    where = "WHERE nk = (SELECT count(*) FROM matched)" if mode == "and" else ""
+    conds = []
+    if mode == "and":
+        conds.append("nk = (SELECT count(*) FROM matched)")
+    if extra:
+        conds.append(extra)
+    where = f"WHERE {' AND '.join(conds)}" if conds else ""
     return (
         f"WITH qterms(term, w) AS (VALUES {vals}),"
         + BM25_PRELUDE[len("WITH ") :]
@@ -388,7 +397,13 @@ def _embed_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_query(
-    spark: SparkSession, sf_dir: str, qterms: list[tuple[str, int]], mode: str, k: int
+    spark: SparkSession,
+    sf_dir: str,
+    qterms: list[tuple[str, int]],
+    mode: str,
+    k: int,
+    exclude: str | None = None,
+    doc_filter=None,
 ) -> DataFrame:
     from invertedindexbuilder_spark.operators.query_exec import topk_bm25
 
@@ -403,6 +418,8 @@ def _bm25_query(
         mode=mode,
         k=k,
         round_digits=5,
+        exclude=exclude,
+        doc_filter=doc_filter,
     )
     return out.select("doc_id", "score")
 
@@ -567,6 +584,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return topk_bm25_batch(
             spark, chunks, env["docs"], env["stats"], qdf,
             mode="or", k=10, round_digits=5,
+        )
+
+    def bm25_and_not(spark, sf_dir):
+        # boolean NOT: docs containing the excluded term leave the
+        # ranking (anti-join after the per-doc aggregate); IDF/d_avr
+        # stay full-corpus — classic filtered-search semantics
+        return _bm25_query(
+            spark, sf_dir, [("data", 1), ("join", 1)], "and", 10,
+            exclude="window",
+        )
+
+    def bm25_filtered(spark, sf_dir):
+        # faceted search: a docs-side predicate restricts scoring via
+        # the inner doc_len join (pushes into the docs scan at scale)
+        return _bm25_query(
+            spark, sf_dir, [("data", 1), ("join", 1)], "and", 10,
+            doc_filter=F.col("doc_id") % 3 == 0,
         )
 
     def lang_id_q(spark, sf_dir):
@@ -1128,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or_chunked": bm25_or_chunked,
         "bm25_batch_and": bm25_batch_and,
         "bm25_batch_or": bm25_batch_or,
+        "bm25_and_not": bm25_and_not,
+        "bm25_filtered": bm25_filtered,
         "lang_id": lang_id_q,
         "quality_score": quality_q,
         "token_counts": token_counts,
@@ -1276,6 +1312,16 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or_dup": _bm25_sql([("data", 2), ("window", 1)], "or", 10),
         "bm25_and_unknown": _bm25_sql(
             [("filter", 1), ("zzznotaterm", 1)], "and", 10
+        ),
+        "bm25_and_not": _bm25_sql(
+            [("data", 1), ("join", 1)], "and", 10,
+            extra=(
+                "doc_id NOT IN (SELECT p.doc_id FROM postings p "
+                "WHERE p.term = 'window')"
+            ),
+        ),
+        "bm25_filtered": _bm25_sql(
+            [("data", 1), ("join", 1)], "and", 10, extra="doc_id % 3 = 0"
         ),
         # chunked serving must produce the SAME answers as the merged
         # index — the oracle is the ordinary BM25 twin

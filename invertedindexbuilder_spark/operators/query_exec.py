@@ -450,6 +450,8 @@ def topk_bm25(
     heavy_df: int = HEAVY_QUERY_DF,
     cand_limit: int = BMW_CANDIDATE_LIMIT,
     counters: dict | None = None,
+    exclude: str | None = None,
+    doc_filter=None,
 ) -> DataFrame:
     """One top-k query -> DataFrame(doc_id, score) ordered desc.
 
@@ -461,9 +463,23 @@ def topk_bm25(
     ``or_prune``: disjunctive block-max pruning (exact — see
     decode_matched_rows_bmw) when the query mixes light and heavy
     lists; falls back to full decode otherwise.
+
+    ``exclude``: NOT-terms — docs containing ANY of them leave the
+    result (the boolean surface the reference lacks; applied as an
+    anti-join after the per-doc aggregate).  IDF/d_avr still come from
+    full-corpus stats, matching the classic filtered-search semantics.
+    ``doc_filter``: Column predicate over ``docs`` columns (faceted
+    search); the inner doc_len join applies it before scoring, and at
+    scale it pushes into the docs-table scan.
     """
     terms = tokenize_query(query)
     matched = lookup_index_rows(index, terms, strict=strict)
+    if doc_filter is not None:
+        docs = docs.filter(doc_filter)
+    exclude_docs = None
+    if exclude:
+        ex_rows = lookup_index_rows(index, tokenize_query(exclude), strict=strict)
+        exclude_docs = decode_matched_rows(ex_rows).select("doc_id").distinct()
 
     n_docs = int(stats["n_docs"])
     davr = float(stats["sum_doc_len"]) / float(n_docs - 1)  # reference N-1 quirk
@@ -508,7 +524,10 @@ def topk_bm25(
         decoded = decode_matched_rows(
             matched, min_doc_id=min_doc, max_doc_id=max_doc
         )
-    return _score_topk(decoded, docs, n_docs, davr, mode, n_keys, k, round_digits)
+    return _score_topk(
+        decoded, docs, n_docs, davr, mode, n_keys, k, round_digits,
+        exclude_docs=exclude_docs,
+    )
 
 
 def lookup_chunk_rows(
@@ -567,6 +586,8 @@ def topk_bm25_chunked(
     heavy_df: int = HEAVY_QUERY_DF,
     cand_limit: int = BMW_CANDIDATE_LIMIT,
     counters: dict | None = None,
+    exclude: str | None = None,
+    doc_filter=None,
 ) -> DataFrame:
     """Top-k BM25 served directly from the chunked index (INDEX_CHUNK).
 
@@ -578,9 +599,18 @@ def topk_bm25_chunked(
     Results are identical to :func:`topk_bm25` over the merged index
     (same gate oracle).  Reference anchor: the blockwise layout exists
     precisely so heavy lists decode incrementally (model_support.c).
+
+    ``exclude`` / ``doc_filter``: same boolean-NOT and faceted-filter
+    semantics as :func:`topk_bm25`.
     """
     terms = tokenize_query(query)
     matched = lookup_chunk_rows(chunks, terms, strict=strict)
+    if doc_filter is not None:
+        docs = docs.filter(doc_filter)
+    exclude_docs = None
+    if exclude:
+        ex_rows = lookup_chunk_rows(chunks, tokenize_query(exclude), strict=strict)
+        exclude_docs = decode_matched_rows(ex_rows).select("doc_id").distinct()
 
     n_docs = int(stats["n_docs"])
     davr = float(stats["sum_doc_len"]) / float(n_docs - 1)
@@ -630,7 +660,10 @@ def topk_bm25_chunked(
         decoded = decode_matched_rows(
             matched, min_doc_id=min_doc, max_doc_id=max_doc
         )
-    return _score_topk(decoded, docs, n_docs, davr, mode, n_keys, k, round_digits)
+    return _score_topk(
+        decoded, docs, n_docs, davr, mode, n_keys, k, round_digits,
+        exclude_docs=exclude_docs,
+    )
 
 
 def _score_topk(
@@ -642,8 +675,11 @@ def _score_topk(
     n_keys: int | None,
     k: int,
     round_digits: int | None,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
-    """Shared scoring tail: doc_len join -> BM25 -> agg -> top-k."""
+    """Shared scoring tail: doc_len join -> BM25 -> agg -> top-k.
+    ``exclude_docs`` (doc_id frame) anti-joins AFTER the per-doc
+    aggregate — the smallest frame the exclusion can apply to."""
     scored_rows = decoded.join(docs.select("doc_id", "doc_len"), "doc_id")
     contrib = scored_rows.withColumn(
         "contrib", F.col("weight") * bm25_expr(n_docs, davr)
@@ -662,6 +698,8 @@ def _score_topk(
         agg = contrib.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
     else:
         raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    if exclude_docs is not None:
+        agg = agg.join(exclude_docs, "doc_id", "left_anti")
     if round_digits is not None:
         agg = agg.withColumn("score", F.round(F.col("score"), round_digits))
     # ties toward earlier-seen (smaller) doc_id = reference heap policy

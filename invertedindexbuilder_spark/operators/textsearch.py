@@ -72,7 +72,12 @@ def phrase_match(
     verify pass is needed.  All joins are equi-joins on (doc_id,
     position): co-located once the postings are bucketed by doc_id.
     """
-    terms = [t for t in phrase.lower().split() if t]
+    import re
+
+    # query-side tokenization MUST mirror tokens_expr ([a-z0-9]+ runs):
+    # a whitespace split would keep 'foo-bar' as one query token that
+    # can never match any posting term
+    terms = [t for t in re.split(r"[^a-z0-9]+", phrase.lower()) if t]
     if not terms:
         raise ValueError("empty phrase")
     pp = (

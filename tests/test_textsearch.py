@@ -56,6 +56,14 @@ def test_phrase_absent_term_empty(spark):
     assert phrase_match(docs, "a zz").count() == 0
 
 
+def test_phrase_query_tokenization_mirrors_postings(spark):
+    """'foo-bar baz' tokenizes as (foo, bar, baz) on BOTH sides —
+    a whitespace-only query split would never match."""
+    docs = _docs(spark, [(0, "x foo-bar baz y"), (1, "foo bar, baz")])
+    out = {r["doc_id"]: r["n_occurrences"] for r in phrase_match(docs, "foo-bar baz").collect()}
+    assert out == {0: 1, 1: 1}
+
+
 def test_phrase_reuses_prebuilt_postings(spark):
     docs = _docs(spark, [(0, "p q r")])
     pp = positional_postings(docs).cache()
