@@ -37,6 +37,9 @@ def main() -> int:
                          "operators/query_batch.topk_bm25_batch — each "
                          "matched index row decodes once however many "
                          "queries share the term")
+    ap.add_argument("--not", dest="exclude", metavar="TERMS", default=None,
+                    help="with --spark: boolean NOT — exclude docs "
+                         "containing any of these space-separated terms")
     ap.add_argument("--snippets-from", metavar="DOCS_SRC_PARQUET",
                     help="also print a best-window snippet per result, "
                          "re-reading content from the source table "
@@ -180,6 +183,7 @@ def _spark_runner(args):
         res = exec_fn(
             spark, index, docs, stats, query,
             mode=mode, k=k, strict=not args.no_strict,
+            exclude=args.exclude,
         )
         rows = res.join(docs.select("doc_id", "url"), "doc_id").orderBy(
             res["score"].desc(), "doc_id"
