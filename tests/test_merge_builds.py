@@ -130,6 +130,32 @@ def test_merged_queries_match_union_build(spark, merged_roots):
     assert by_url(out) == by_url(full)
 
 
+def test_merged_build_accepts_compaction_delta(spark, merged_roots, tmp_path):
+    """Composition: a federated-merged root is a normal chunked build —
+    compact() folds a delta into it, and stats equal a clean build over
+    shardA + shardB + delta."""
+    import shutil
+
+    from invertedindexbuilder_spark.plans.build import compact
+
+    _, _, out, _ = merged_roots
+    root = str(tmp_path / "m2")
+    shutil.copytree(out, root)
+    n_delta = 60
+    compact(
+        spark, synthetic_docs_src(spark, n_delta, start=N_A + N_B), root
+    )
+    full = str(tmp_path / "full2")
+    build(
+        spark, synthetic_docs_src(spark, N_A + N_B + n_delta), full,
+        write_chunks=True,
+    )
+    got, want = load_stats(spark, root), load_stats(spark, full)
+    # layout-independent stats (terms/doc counts/postings); payload
+    # geometry legitimately differs across salting layouts
+    assert got == want
+
+
 def test_merge_rejects_overlapping_shards(spark, merged_roots, tmp_path):
     ra, _, _, _ = merged_roots
     with pytest.raises(ValueError, match="share"):
