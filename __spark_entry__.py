@@ -655,6 +655,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", content_hash64(F.col("text")).alias("h64")
         )
 
+    def corpus_report_q(spark, sf_dir):
+        # the pre-training corpus summary: per predicted language,
+        # doc count + mean quality + total whitespace tokens — one
+        # groupBy over pure column expressions
+        d = _documents(spark, sf_dir).select(
+            lang_id(F.col("text")).alias("lang_pred"),
+            quality_score(F.col("text")).alias("q"),
+            ws_token_count(F.col("text")).cast("long").alias("t"),
+        )
+        return d.groupBy("lang_pred").agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("q"), 6).alias("mean_quality"),
+            F.sum("t").alias("total_tokens"),
+        )
+
     def repetition_stats_q(spark, sf_dir):
         # Gopher-style repeat filters: dup-word fraction + top-bigram
         # occupancy (operators/curation.py)
@@ -1170,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences_q,
         "stratified_sample": stratified_sample_q,
         "content_hash": content_hash,
+        "corpus_report": corpus_report_q,
         "repetition_stats": repetition_stats_q,
         "top_bigrams": top_bigrams_q,
         "decontaminate": decontaminate_q,
@@ -1345,6 +1361,20 @@ def oracle_sql() -> dict[str, str]:
         "content_hash": (
             "SELECT doc_id, CAST('0x' || SUBSTR(md5(text), 1, 15) AS BIGINT) "
             "AS h64 FROM documents"
+        ),
+        "corpus_report": (
+            "WITH "
+            + _lang_ctes("documents")
+            + ", "
+            + _quality_ctes("documents")
+            + ", tok AS (SELECT doc_id, "
+            "len(regexp_extract_all(trim(text), '\\S+'))::BIGINT AS t "
+            "FROM documents) "
+            "SELECT lang_pred, count(*)::BIGINT AS n_docs, "
+            "round(avg(quality), 6) AS mean_quality, "
+            "sum(t)::BIGINT AS total_tokens "
+            "FROM lang JOIN qual USING (doc_id) JOIN tok USING (doc_id) "
+            "GROUP BY lang_pred"
         ),
         "repetition_stats": (
             "WITH w AS (SELECT doc_id, "
