@@ -15,15 +15,24 @@ Coverage map (SURVEY §2 rows -> queries):
   Q7 disj BM25              -> bm25_or, bm25_or_dup
   chunked serving (r2)      -> bm25_and_chunked, bm25_or_chunked
   incremental compaction    -> index_compacted
+  federated merge (r3)      -> index_federated
+  boolean NOT / facets (r3) -> bm25_and_not, bm25_filtered
   S4 sampling               -> sample_mod10
   training-data extensions  -> dedup_exact, dedup_jaccard,
                                dedup_minhash_lsh, simhash,
                                fingerprint_winnow, embed_near_dup,
                                lang_id, quality_score, token_counts,
                                content_hash, ann_cosine_topk,
-                               ann_ivf_topk, ann_ivf_probe1,
-                               media_features, media_frames,
-                               curated_corpus
+                               ann_ivf_topk, ann_ivf_probe1/5,
+                               ann_kmeans_topk, media_features,
+                               media_frames, curated_corpus,
+                               pack_sequences, stratified_sample
+  curation suite (r3)       -> repetition_stats, top_bigrams,
+                               decontaminate, pii_scrub,
+                               source_dup_stats, corpus_report
+  code/search suite (r3)    -> code_subtokens, code_stats,
+                               phrase_search, substring_search,
+                               fuzzy_terms, prefix_terms
   Spark-primitive demos     -> lineitem_rollup, events_hourly,
                                sessionize, asof_latest_order,
                                tpch_q3ish
