@@ -871,6 +871,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_minhash_lsh(spark, sf_dir):
         return minhash_dedup(_dedup_corpus(spark, sf_dir), threshold=0.6)
 
+    def dedup_clusters_q(spark, sf_dir):
+        # transitive near-dup CLUSTERS: LSH pairs -> distributed
+        # min-label propagation (connected components); pairwise
+        # keep/lose under-merges chains, clusters are the correct
+        # dedup decision unit
+        from invertedindexbuilder_spark.operators.dedup import (
+            dedup_clusters,
+        )
+
+        return dedup_clusters(_dedup_corpus(spark, sf_dir), threshold=0.6)
+
     def simhash_q(spark, sf_dir):
         return simhash(_documents(spark, sf_dir).select("doc_id", "text"))
 
@@ -1209,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_clusters": dedup_clusters_q,
         "simhash": simhash_q,
         "ann_cosine_topk": ann_cosine,
         "ann_ivf_topk": ann_ivf,
@@ -1522,6 +1534,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_jaccard": jaccard_brute,
         "dedup_minhash_lsh": jaccard_lsh,
+        # transitive closure of the SAME LSH pair set via recursive CTE
+        "dedup_clusters": (
+            "WITH RECURSIVE "
+            + DEDUP_CORPUS_SQL.lstrip()
+            + ","
+            + SHINGLE_CTE
+            + ","
+            + MINHASH_CTE
+            + ","
+            + JACCARD_CTES.format(
+                cand_join="JOIN cand c ON c.doc_a = s1.doc_id "
+                "AND c.doc_b = s2.doc_id"
+            )
+            + ", pairs AS ("
+            + JACCARD_SELECT.format(tau=0.6)
+            + "), edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+            "UNION SELECT doc_b, doc_a FROM pairs), "
+            "reach(node, r) AS ("
+            "SELECT u, u FROM edges "
+            "UNION "
+            "SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node) "
+            "SELECT node AS doc_id, min(r)::BIGINT AS cluster, "
+            "(CASE WHEN node = min(r) THEN 1 ELSE 0 END)::INT AS keep "
+            "FROM reach GROUP BY node"
+        ),
         "simhash": (
             "WITH toks AS (SELECT DISTINCT doc_id, "
             "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok "

@@ -345,6 +345,91 @@ def minhash_dedup(
     return out
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Transitive near-dup CLUSTERS from a pair list: (doc_id, cluster)
+    where cluster = the minimum doc_id reachable through the pair graph
+    (the canonical keep candidate).  Pairwise keep/lose rules
+    under-merge chains (a~b, b~c never links a and c); clustering is
+    the correct unit for dedup decisions.
+
+    Distributed min-label propagation: each round every node adopts the
+    minimum label in its closed neighborhood (one groupBy over the
+    edge-expanded label frame); converges in O(graph diameter) rounds —
+    near-dup graphs are unions of small cliques, so typically 2-3.  The
+    driver sees only the per-round change COUNT; labels stay
+    distributed and each round's frame is localCheckpointed to cut the
+    iterative lineage.  Raises if max_iter rounds don't converge
+    (pathological chain longer than max_iter)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "v").withColumnRenamed(
+                    "cluster", "_vc"
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("_vc").alias("_nc"))
+            .withColumnRenamed("u", "node")
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce("_nc", F.col("cluster"))
+                ).alias("cluster"),
+                (
+                    F.coalesce("_nc", F.col("cluster")) < F.col("cluster")
+                ).cast("int").alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = updated.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels = updated.drop("_chg")
+        if changed == 0:
+            return labels.select(F.col("node").alias("doc_id"), "cluster")
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Near-dup groups as CLUSTERS: minhash_dedup pairs -> connected
+    components -> (doc_id, cluster, keep) where keep=1 marks the
+    cluster's minimum doc_id (the canonical survivor).  Docs without
+    any near-dup are absent (singleton clusters carry no decision)."""
+    pairs = minhash_dedup(docs, threshold=threshold, text_col=text_col,
+                          hash_mode=hash_mode)
+    cc = connected_components(pairs)
+    return cc.select(
+        "doc_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        (F.col("doc_id") == F.col("cluster")).cast("int").alias("keep"),
+    )
+
+
 # ------------------------------------------------------------ winnowing
 
 
