@@ -33,7 +33,10 @@ from pyspark.sql import functions as F
 from invertedindexbuilder_spark.catalog import Catalog
 from invertedindexbuilder_spark.functions.text import lang_id, quality_score
 from invertedindexbuilder_spark.operators.curation import repetition_stats
-from invertedindexbuilder_spark.operators.dedup import minhash_dedup
+from invertedindexbuilder_spark.operators.dedup import (
+    connected_components,
+    minhash_dedup,
+)
 from invertedindexbuilder_spark.operators.docids import SORT_KEYS, attach_doc_ids, doc_id_map
 from invertedindexbuilder_spark.plans.build import BuildManifest, _fingerprint
 
@@ -114,12 +117,16 @@ def curate(
             rep.filter(F.col("dup_word_frac") > max_dup_word_frac).select("doc_id"),
         )
     if near_dup_threshold is not None:
-        # the expensive stage runs LAST, on survivors only
+        # the expensive stage runs LAST, on survivors only.  Losers
+        # come from CONNECTED COMPONENTS of the pair graph, not a
+        # pairwise larger-id rule: a~b, b~c must keep exactly one of
+        # the chain (min id), and pairwise rules under-merge
         dd = d.join(survivors, "doc_id", "left_semi")
         pairs = minhash_dedup(dd, threshold=near_dup_threshold, hash_mode=hash_mode)
+        cc = connected_components(pairs)
         apply_stage(
             "near_dup",
-            pairs.select(F.greatest("doc_a", "doc_b").alias("doc_id")).distinct(),
+            cc.filter(F.col("doc_id") != F.col("cluster")).select("doc_id"),
         )
 
     report["docs_out"] = survivors.count()

@@ -121,6 +121,35 @@ def test_roundtrip_curate_build_query(spark, curated, tmp_path):
     assert len(topk_local(li, "fox pipelines", mode="or", k=5)) == 2
 
 
+def test_near_dup_chain_keeps_exactly_one(spark, tmp_out):
+    """a~b and b~c (c may or may not pair with a directly): connected
+    components must keep exactly the minimum of the chain — the
+    pairwise larger-id rule this replaced also passed 2-chains, so the
+    3-chain is the distinguishing case."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while steady "
+        "effort and calm focus carry the work through every day"
+    )
+    rows = [
+        ("r", "a000", "c", "txt", base),
+        ("r", "a001", "c", "txt", base + " xone"),
+        ("r", "a002", "c", "txt", base + " xone xtwo"),
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    m = curate(
+        spark, src, tmp_out,
+        langs=None, min_quality=None, max_dup_word_frac=None,
+        near_dup_threshold=0.5,
+    )
+    keep = {
+        r["doc_id"] for r in Catalog(spark, tmp_out).read("keep_list").collect()
+    }
+    assert keep == {0}
+    assert m["phases"]["curate"]["removed_near_dup"] == 2
+
+
 def test_stages_can_be_disabled(spark, tmp_out):
     m = curate(
         spark,
