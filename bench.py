@@ -203,6 +203,27 @@ def main() -> int:
         substring_search(d, "le part").count()
         timings["substring_search"] = time.time() - t0
 
+        # served variants: the one-time index materialization is paid
+        # outside the timer (a deployment builds these tables once);
+        # the timed number is pure query latency
+        from invertedindexbuilder_spark.operators.textsearch import (
+            char_trigram_postings,
+            positional_postings,
+        )
+
+        tg = char_trigram_postings(d).cache()
+        tg.count()
+        t0 = time.time()
+        substring_search(d, "le part", trigrams=tg).count()
+        timings["substring_search_indexed"] = time.time() - t0
+        pp = positional_postings(d).cache()
+        pp.count()
+        t0 = time.time()
+        phrase_match(d, "slow hash batch", postings=pp).count()
+        timings["phrase_search_indexed"] = time.time() - t0
+        tg.unpersist()
+        pp.unpersist()
+
         total = time.time() - t_all
         build_s = timings["build_index"]
         print(
