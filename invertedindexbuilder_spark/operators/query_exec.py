@@ -478,6 +478,12 @@ def topk_bm25(
         docs = docs.filter(doc_filter)
     exclude_docs = None
     if exclude:
+        # BMW OR-pruning is UNSOUND under exclusion: theta seeds from
+        # light-list candidates INCLUDING soon-to-be-excluded docs, so
+        # an inflated theta could prune heavy blocks holding docs that
+        # belong in the post-exclusion top-k.  Force the (exact) full
+        # decode; AND-mode pruning is score-free and stays on.
+        or_prune = False
         ex_rows = lookup_index_rows(index, tokenize_query(exclude), strict=strict)
         exclude_docs = decode_matched_rows(ex_rows).select("doc_id").distinct()
 
@@ -609,6 +615,12 @@ def topk_bm25_chunked(
         docs = docs.filter(doc_filter)
     exclude_docs = None
     if exclude:
+        # BMW OR-pruning is UNSOUND under exclusion: theta seeds from
+        # light-list candidates INCLUDING soon-to-be-excluded docs, so
+        # an inflated theta could prune heavy blocks holding docs that
+        # belong in the post-exclusion top-k.  Force the (exact) full
+        # decode; AND-mode pruning is score-free and stays on.
+        or_prune = False
         ex_rows = lookup_chunk_rows(chunks, tokenize_query(exclude), strict=strict)
         exclude_docs = decode_matched_rows(ex_rows).select("doc_id").distinct()
 

@@ -673,6 +673,14 @@ def merge_builds(
     """
     from invertedindexbuilder_spark.operators.index_build import shift_chunks
 
+    if os.path.abspath(out_root) in (
+        os.path.abspath(root_a), os.path.abspath(root_b)
+    ):
+        raise ValueError(
+            "out_root must differ from both shard roots: the merge "
+            "reads each shard while writing the output, and writing "
+            "over an input would corrupt it mid-read"
+        )
     cat_a, cat_b = Catalog(spark, root_a), Catalog(spark, root_b)
     cat = Catalog(spark, out_root)
     for c, r in ((cat_a, root_a), (cat_b, root_b)):

@@ -162,6 +162,12 @@ def test_merge_rejects_overlapping_shards(spark, merged_roots, tmp_path):
         merge_builds(spark, ra, ra, str(tmp_path / "bad"))
 
 
+def test_merge_refuses_in_place_output(spark, merged_roots, tmp_path):
+    ra, rb, _, _ = merged_roots
+    with pytest.raises(ValueError, match="differ from both shard roots"):
+        merge_builds(spark, ra, rb, ra)
+
+
 def test_merge_requires_chunked_builds(spark, tmp_path):
     ra = str(tmp_path / "nochunks")
     build(spark, synthetic_docs_src(spark, 30), ra)  # merged-only build

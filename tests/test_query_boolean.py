@@ -98,6 +98,30 @@ def test_exclude_unknown_term_is_noop(spark, env):
     ]
 
 
+def test_exclude_forces_bmw_off_and_stays_exact(spark, env):
+    """Exclusion + BMW OR-pruning is unsound (theta seeds from light
+    candidates INCLUDING excluded docs -> inflated theta can prune
+    heavy blocks holding post-exclusion top-k docs), so exclude= must
+    force full decode even when or_prune is requested.  heavy_df=1
+    makes every list 'heavy-eligible' so the pruning path WOULD engage
+    without the override."""
+    kw = dict(
+        mode="or", k=5, round_digits=5, exclude="extra", heavy_df=1,
+    )
+    forced = topk_bm25(
+        spark, env["index"], env["docs"], env["stats"], "data window",
+        or_prune=True, **kw,
+    ).collect()
+    plain = topk_bm25(
+        spark, env["index"], env["docs"], env["stats"], "data window",
+        or_prune=False, **kw,
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in forced] == [
+        (r["doc_id"], r["score"]) for r in plain
+    ]
+    assert forced  # non-degenerate
+
+
 def test_doc_filter_restricts_both_paths(spark, env):
     pred = F.col("doc_id") % 3 == 0
     for fn, idx in (
