@@ -819,6 +819,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(spark, sf_dir).select("doc_id", "text"), "le part"
         )
 
+    def related_terms_q(spark, sf_dir):
+        # query expansion: PMI-ranked co-occurring terms; the explode
+        # is semi-join-restricted to docs containing the query term
+        from invertedindexbuilder_spark.operators.textsearch import (
+            related_terms,
+        )
+
+        return related_terms(
+            _documents(spark, sf_dir).select("doc_id", "text"),
+            "data", k=20, min_co_df=2,
+        )
+
     def fuzzy_terms_q(spark, sf_dir):
         # typo-tolerant vocabulary lookup (SymSpell deletion join):
         # candidates from shared deletion variants, exact levenshtein
@@ -1217,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_search": substring_search_q,
         "fuzzy_terms": fuzzy_terms_q,
         "prefix_terms": prefix_terms_q,
+        "related_terms": related_terms_q,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1501,6 +1514,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, ((length(text) - "
             "length(replace(text, 'le part', ''))) / length('le part'))::BIGINT "
             "AS n_occurrences FROM documents WHERE contains(text, 'le part')"
+        ),
+        "related_terms": (
+            "WITH toks AS (SELECT DISTINCT doc_id, t FROM ("
+            "SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS t FROM documents)), "
+            "n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nd FROM documents), "
+            "dfs AS (SELECT t, count(*)::BIGINT AS df FROM toks GROUP BY t), "
+            "wt AS (SELECT doc_id FROM toks WHERE t = 'data'), "
+            "dt AS (SELECT count(*)::DOUBLE AS dft FROM wt), "
+            "co AS (SELECT t, count(*)::BIGINT AS co_df FROM toks "
+            "WHERE doc_id IN (SELECT doc_id FROM wt) AND t <> 'data' "
+            "GROUP BY t HAVING count(*) >= 2) "
+            "SELECT co.t AS term, co_df, df, "
+            "round(log2(co_df * n.nd / (dt.dft * df)), 6) AS pmi "
+            "FROM co JOIN dfs ON co.t = dfs.t CROSS JOIN n CROSS JOIN dt "
+            "ORDER BY pmi DESC, term LIMIT 20"
         ),
         "fuzzy_terms": (
             "WITH tok AS (SELECT DISTINCT unnest("

@@ -211,6 +211,71 @@ def prefix_terms(
     )
 
 
+def related_terms(
+    docs: DataFrame,
+    term: str,
+    k: int = 20,
+    min_co_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-expansion candidates: terms co-occurring with ``term``
+    (doc-level), ranked by a PMI-style association score
+    ``log2(co_df * N / (df_term * df_other))`` rounded to 6, ties by
+    term.  Columns: term, co_df, df, pmi.
+
+    Scale shape: the expensive side is restricted FIRST — only docs
+    containing the query term explode their vocabularies (a semi-join
+    against the term's posting docs, never the whole corpus), and the
+    per-term dfs come from a count over distinct (doc, term) pairs of
+    that restricted set joined to global dfs.  One corpus-wide pass
+    computes global dfs; materialize it once for repeated expansion
+    queries."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_expr(text_col))).alias("t"),
+    )
+    n_docs = docs.select(id_col).distinct().count()
+    dfs = toks.groupBy("t").agg(F.count("*").cast("long").alias("df"))
+    with_term = toks.filter(F.col("t") == term).select("doc_id")
+    df_term = with_term.count()
+    if df_term == 0:
+        return (
+            toks.limit(0)
+            .select(
+                F.col("t").alias("term"),
+                F.lit(0).cast("long").alias("co_df"),
+                F.lit(0).cast("long").alias("df"),
+                F.lit(0.0).alias("pmi"),
+            )
+        )
+    co = (
+        toks.join(with_term, "doc_id", "left_semi")
+        .filter(F.col("t") != term)
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("co_df"))
+        .filter(F.col("co_df") >= min_co_df)
+    )
+    return (
+        co.join(dfs, "t")
+        .select(
+            F.col("t").alias("term"),
+            "co_df",
+            "df",
+            F.round(
+                F.log2(
+                    F.col("co_df")
+                    * F.lit(float(n_docs))
+                    / (F.lit(float(df_term)) * F.col("df"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def char_trigram_postings(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
