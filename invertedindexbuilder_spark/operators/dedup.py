@@ -258,7 +258,7 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def lsh_band_buckets(
     docs: DataFrame,
     num_hashes: int = 16,
     bands: int = 4,
@@ -267,17 +267,16 @@ def minhash_lsh_pairs(
     shingles: DataFrame | None = None,
     hash_mode: str = "md5",
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing any band bucket.
-
-    band bucket = digest of the ordered minhash values in the band.
-    The bucket join shuffles only (band, bucket) — the scale path for
-    near-dup candidate generation.
-    """
+    """(doc_id, band, bucket) — the banded-minhash LSH index frame.
+    Shared by in-corpus pair generation (minhash_lsh_pairs) and the
+    STORED fingerprint table an incremental pipeline keeps so later
+    deltas can find near-dups of already-curated docs without
+    re-shingling the base corpus (plans/curate.curate_delta)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         docs, num_hashes, n, text_col, shingles=shingles, hash_mode=hash_mode
     )
-    banded = (
+    return (
         sig.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
@@ -294,6 +293,27 @@ def minhash_lsh_pairs(
                 hash_mode,
             ).alias("bucket")
         )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band bucket.
+
+    band bucket = digest of the ordered minhash values in the band.
+    The bucket join shuffles only (band, bucket) — the scale path for
+    near-dup candidate generation.
+    """
+    banded = lsh_band_buckets(
+        docs, num_hashes, bands, n, text_col, shingles=shingles,
+        hash_mode=hash_mode,
     )
     a = banded.alias("a")
     b = banded.alias("b")
