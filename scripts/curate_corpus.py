@@ -38,6 +38,12 @@ def main() -> int:
     ap.add_argument("--build-index", default=None,
                     help="after curating, build an index of the curated "
                          "view at this root")
+    ap.add_argument("--delta", metavar="BASE_SRC_PARQUET", default=None,
+                    help="treat --input as a DELTA: curate it against "
+                         "the existing root's stored fingerprints "
+                         "(exact + near dedup vs the base); BASE_SRC "
+                         "is the base corpus parquet, read only for "
+                         "near-dup candidate verification")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -63,19 +69,37 @@ def main() -> int:
         ap.error("need --input or --synthetic")
 
     t0 = time.time()
-    manifest = curate(
-        spark,
-        src,
-        args.out,
-        langs=args.langs.split(",") if args.langs else None,
-        min_quality=None if args.min_quality < 0 else args.min_quality,
-        max_dup_word_frac=args.max_dup_word_frac,
-        exact_dedup=not args.no_exact_dedup,
-        near_dup_threshold=None if args.near_dup < 0 else args.near_dup,
-    )
+    if args.delta:
+        from invertedindexbuilder_spark.plans.curate import curate_delta
+
+        manifest = curate_delta(
+            spark,
+            src,
+            args.out,
+            base_src=spark.read.parquet(args.delta),
+            langs=args.langs.split(",") if args.langs else None,
+            min_quality=None if args.min_quality < 0 else args.min_quality,
+            max_dup_word_frac=args.max_dup_word_frac,
+            near_dup_threshold=None if args.near_dup < 0 else args.near_dup,
+        )
+        phase_key = sorted(
+            k for k in manifest["phases"] if k.startswith("curate_delta")
+        )[-1]
+    else:
+        manifest = curate(
+            spark,
+            src,
+            args.out,
+            langs=args.langs.split(",") if args.langs else None,
+            min_quality=None if args.min_quality < 0 else args.min_quality,
+            max_dup_word_frac=args.max_dup_word_frac,
+            exact_dedup=not args.no_exact_dedup,
+            near_dup_threshold=None if args.near_dup < 0 else args.near_dup,
+        )
+        phase_key = "curate"
     report = {
         k: v
-        for k, v in manifest["phases"]["curate"].items()
+        for k, v in manifest["phases"][phase_key].items()
         if k not in ("status", "fingerprint")
     }
     if args.build_index:
