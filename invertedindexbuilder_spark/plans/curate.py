@@ -327,8 +327,15 @@ def curate_delta(
     )
     d.unpersist()
     fp = _fingerprint(delta_src, SORT_KEYS)
+    # phase key = run ORDINAL, not the fingerprint: a replayed delta
+    # still consumed an id range (its rows land in removals), so its
+    # run must keep its own docs_in entry or the NEXT delta's id
+    # offset would collide with the replay's removal ids
+    ordinal = 1 + sum(
+        1 for k in manifest.data["phases"] if k.startswith("curate_delta")
+    )
     manifest.record(
-        f"curate_delta_{fp}",
+        f"curate_delta_{ordinal:04d}",
         fp,
         {**report, "wall_s": round(time.time() - t0, 3)},
     )

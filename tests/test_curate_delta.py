@@ -104,10 +104,23 @@ def test_replayed_delta_self_heals(spark, base_root):
     m = curate_delta(spark, delta, root, base_src=base, langs=None,
                      min_quality=None, near_dup_threshold=0.5)
     phases = [v for k, v in m["phases"].items() if k.startswith("curate_delta")]
+    # each RUN keeps its own phase entry (ordinal keys): the replay's
+    # consumed id range must count toward the next delta's offset
+    assert len(phases) == 2
     assert any(
         p["docs_out"] == 0 and p["removed_exact_dup_base"] == 1 for p in phases
     )
     assert Catalog(spark, root).read("keep_list").count() == n_keep
+    # a third delta's ids start past BOTH runs: no id reuse anywhere
+    third = _src(spark, [("c0", A + " unique tail")])
+    m3 = curate_delta(spark, third, root, base_src=base, langs=None,
+                      min_quality=None, near_dup_threshold=0.99)
+    all_ids = [
+        r["doc_id"]
+        for t in ("keep_list", "removals")
+        for r in Catalog(spark, root).read(t).collect()
+    ]
+    assert len(all_ids) == len(set(all_ids))
 
 
 def test_delta_requires_fingerprints(spark, tmp_out):
