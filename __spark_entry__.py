@@ -883,6 +883,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_minhash_lsh(spark, sf_dir):
         return minhash_dedup(_dedup_corpus(spark, sf_dir), threshold=0.6)
 
+    def simhash_pairs_q(spark, sf_dir):
+        # Hamming-banded simhash near-dup (Manku/Jain/Sarma): exact
+        # pigeonhole candidates, popcount verify on candidates only
+        from invertedindexbuilder_spark.operators.dedup import simhash_pairs
+
+        return simhash_pairs(_dedup_corpus(spark, sf_dir), max_hamming=3)
+
     def dedup_clusters_q(spark, sf_dir):
         # transitive near-dup CLUSTERS: LSH pairs -> distributed
         # min-label propagation (connected components); pairwise
@@ -1234,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_clusters": dedup_clusters_q,
+        "simhash_pairs": simhash_pairs_q,
         "simhash": simhash_q,
         "ann_cosine_topk": ann_cosine,
         "ann_ivf_topk": ann_ivf,
@@ -1587,6 +1595,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node AS doc_id, min(r)::BIGINT AS cluster, "
             "(CASE WHEN node = min(r) THEN 1 ELSE 0 END)::INT AS keep "
             "FROM reach GROUP BY node"
+        ),
+        "simhash_pairs": (
+            "WITH "
+            + DEDUP_CORPUS_SQL.lstrip()
+            + ", toks AS (SELECT DISTINCT doc_id, tok FROM ("
+            "SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS tok FROM dd)), "
+            "h AS (SELECT doc_id, "
+            "CAST('0x' || SUBSTR(md5(tok), 1, 8) AS BIGINT) AS h FROM toks), "
+            "bits AS (SELECT doc_id, t.b, "
+            "sum(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+            "FROM h CROSS JOIN generate_series(0, 31) t(b) GROUP BY doc_id, t.b), "
+            "sig AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) "
+            "ELSE 0 END)::BIGINT AS s FROM bits GROUP BY doc_id), "
+            "banded AS (SELECT doc_id, s, t.band, "
+            "(s >> (t.band * 8)) & 255 AS bval "
+            "FROM sig CROSS JOIN generate_series(0, 3) t(band)), "
+            "cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.s AS sa, "
+            "b.doc_id AS doc_b, b.s AS sb FROM banded a JOIN banded b "
+            "ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id) "
+            "SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming "
+            "FROM cand WHERE bit_count(xor(sa, sb)) <= 3"
         ),
         "simhash": (
             "WITH toks AS (SELECT DISTINCT doc_id, "

@@ -450,6 +450,59 @@ def dedup_clusters(
     )
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    nbits: int = 32,
+    bands: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance (the Manku/Jain/
+    Sarma WWW'07 design): with ``bands > max_hamming``, any pair
+    within distance d shares at least one EXACT band (pigeonhole), so
+    candidates are docs sharing a band value — a band-keyed equi-join,
+    the same shuffle shape as MinHash-LSH — and the popcount verify
+    runs on candidates only.  Candidate recall is EXACT (not
+    probabilistic like MinHash banding).  Columns: doc_a, doc_b,
+    hamming."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole guarantee"
+        )
+    if nbits % bands:
+        raise ValueError("nbits must divide evenly into bands")
+    width = nbits // bands
+    mask = (1 << width) - 1
+    sig = simhash(docs, nbits, text_col)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band"),
+    ).withColumn("bval", F.expr(f"(simhash >> (band * {width})) & {mask}"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(_sa ^ _sb)").cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 # ------------------------------------------------------------ winnowing
 
 
