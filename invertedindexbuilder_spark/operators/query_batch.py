@@ -82,8 +82,14 @@ def topk_bm25_batch(
     k: int = 10,
     strict: bool = True,
     round_digits: int | None = None,
+    exclude_col: str | None = None,
 ) -> DataFrame:
     """All queries at once -> DataFrame(query_id, doc_id, score, rank).
+
+    ``exclude_col``: optional column of per-query NOT-terms (space-
+    separated; null/empty = none) — docs containing any of a query's
+    excluded terms leave THAT query's ranking.  Excluded keys decode
+    once for the whole batch, like positive keys.
 
     ``index`` may be the merged table OR the chunked table
     (INDEX_CHUNK): chunk rows decode independently and the full-term
@@ -95,6 +101,29 @@ def topk_bm25_batch(
         raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
     n_docs = int(stats["n_docs"])
     davr = float(stats["sum_doc_len"]) / float(n_docs - 1)
+    chunked = "salt" in index.columns
+
+    def _resolve(keys: dict) -> DataFrame:
+        """Matched index rows for a key set, collision winners applied
+        (same semantics as lookup_index_rows / lookup_chunk_rows)."""
+        m = _match_keys(index, keys, strict)
+        if chunked:
+            # full-term df + collision winner from a tiny metadata agg
+            # (same shape as lookup_chunk_rows, batched over all keys)
+            per_term = m.groupBy("key", "term").agg(
+                F.sum("df").cast("long").alias("term_df")
+            )
+            w = Window.partitionBy("key").orderBy(F.col("term").desc())
+            winner = (
+                per_term.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            return m.join(F.broadcast(winner), ["key", "term"])
+        if strict:
+            winner = m.groupBy("key").agg(F.max("term").alias("term"))
+            return m.join(F.broadcast(winner), ["key", "term"])
+        return m
 
     # qkeys is deliberately NOT cached: it re-derives from the queries
     # table in one narrow pass wherever the plan needs it (a cache here
@@ -109,24 +138,7 @@ def topk_bm25_batch(
         return spark.createDataFrame(
             [], schema="query_id long, doc_id long, score double, rank int"
         )
-    matched = _match_keys(index, distinct_keys, strict)
-    chunked = "salt" in index.columns
-    if chunked:
-        # full-term df + collision winner from a tiny metadata agg
-        # (same shape as lookup_chunk_rows, batched over all keys)
-        per_term = matched.groupBy("key", "term").agg(
-            F.sum("df").cast("long").alias("term_df")
-        )
-        w = Window.partitionBy("key").orderBy(F.col("term").desc())
-        winner = (
-            per_term.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        matched = matched.join(F.broadcast(winner), ["key", "term"])
-    elif strict:
-        winner = matched.groupBy("key").agg(F.max("term").alias("term"))
-        matched = matched.join(F.broadcast(winner), ["key", "term"])
+    matched = _resolve(distinct_keys)
 
     # decode each matched row ONCE (weight=1 placeholder; the per-query
     # weight multiplies in after the fan-out join)
@@ -158,6 +170,30 @@ def topk_bm25_batch(
             F.col("_nk") == F.col("_need")
         )
     agg = agg.drop("_nk", "_need")
+    if exclude_col is not None and exclude_col in queries.columns:
+        # per-query NOT-terms: decode each excluded key once for the
+        # whole batch, fan out to (query_id, doc_id) exclusion pairs,
+        # anti-join AFTER the per-(query, doc) aggregate
+        ex_qkeys = _query_keys(
+            queries.select(
+                "query_id",
+                F.coalesce(F.col(exclude_col), F.lit("")).alias("text"),
+            ),
+            strict,
+        )
+        ex_keys = {
+            r["key"]: 1 for r in ex_qkeys.select("key").distinct().collect()
+        }
+        if ex_keys:
+            ex_pairs = (
+                decode_matched_rows(
+                    _resolve(ex_keys).withColumn("weight", F.lit(1))
+                )
+                .join(F.broadcast(ex_qkeys.select("query_id", "key")), "key")
+                .select("query_id", "doc_id")
+                .distinct()
+            )
+            agg = agg.join(ex_pairs, ["query_id", "doc_id"], "left_anti")
     if round_digits is not None:
         agg = agg.withColumn("score", F.round(F.col("score"), round_digits))
     rank_w = Window.partitionBy("query_id").orderBy(

@@ -56,6 +56,41 @@ def _qdf(spark):
     return spark.createDataFrame(QUERIES, "query_id long, text string")
 
 
+@pytest.mark.parametrize("table", ["index", "chunks"])
+def test_batch_per_query_exclusion(spark, env, table):
+    """exclude_col: each query's NOT-terms remove docs from THAT
+    query's ranking only — parity with the single-query exclude."""
+    qdf = spark.createDataFrame(
+        [
+            (1, "the data", "mid"),     # drop docs containing 'mid'
+            (2, "the data", None),      # no exclusion
+            (3, "the", "zzznotaterm"),  # unknown NOT-term: no-op
+        ],
+        "query_id long, text string, minus string",
+    )
+    batch = topk_bm25_batch(
+        spark, env[table], env["docs"], env["stats"], qdf,
+        mode="or", k=5, round_digits=6, exclude_col="minus",
+    ).collect()
+    got: dict[int, list] = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    single = topk_bm25 if table == "index" else topk_bm25_chunked
+    for qid, text, minus in [
+        (1, "the data", "mid"), (2, "the data", None), (3, "the", "zzznotaterm")
+    ]:
+        want = [
+            (r["doc_id"], r["score"])
+            for r in single(
+                spark, env[table], env["docs"], env["stats"], text,
+                mode="or", k=5, round_digits=6, exclude=minus,
+            ).collect()
+        ]
+        assert sorted(got[qid]) == sorted(want), f"query {qid}"
+    # query 1's exclusion really bites: its doc set differs from 2's
+    assert {d for d, _ in got[1]} != {d for d, _ in got[2]}
+
+
 @pytest.mark.parametrize("mode", ["and", "or"])
 @pytest.mark.parametrize("table", ["index", "chunks"])
 def test_batch_equals_per_query(spark, env, mode, table):
