@@ -40,6 +40,10 @@ def main() -> int:
     ap.add_argument("--not", dest="exclude", metavar="TERMS", default=None,
                     help="with --spark: boolean NOT — exclude docs "
                          "containing any of these space-separated terms")
+    ap.add_argument("--filter", dest="doc_filter", metavar="SQL_PRED",
+                    default=None,
+                    help="with --spark: faceted search — a SQL predicate "
+                         "over docs columns, e.g. 'doc_id % 3 = 0'")
     ap.add_argument("--snippets-from", metavar="DOCS_SRC_PARQUET",
                     help="also print a best-window snippet per result, "
                          "re-reading content from the source table "
@@ -177,13 +181,16 @@ def _spark_runner(args):
     index.count(), docs.count()  # warm the caches (Q1 session load)
     stats = load_stats(spark, args.index)
     exec_fn = topk_bm25_chunked if args.chunked else topk_bm25
+    from pyspark.sql import functions as F
+
+    doc_filter = F.expr(args.doc_filter) if args.doc_filter else None
 
     def run(query: str, mode: str, k: int) -> None:
         t0 = time.time()
         res = exec_fn(
             spark, index, docs, stats, query,
             mode=mode, k=k, strict=not args.no_strict,
-            exclude=args.exclude,
+            exclude=args.exclude, doc_filter=doc_filter,
         )
         rows = res.join(docs.select("doc_id", "url"), "doc_id").orderBy(
             res["score"].desc(), "doc_id"

@@ -26,7 +26,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="parquet with (doc_id, text)")
     ap.add_argument("--mode", required=True,
-                    choices=["phrase", "substring", "fuzzy", "prefix", "subtoken"])
+                    choices=["phrase", "substring", "fuzzy", "prefix",
+                             "subtoken", "related"])
     ap.add_argument("--max-dist", type=int, default=1, help="fuzzy edit distance")
     ap.add_argument("--limit", type=int, default=20)
     ap.add_argument("--cores", type=int, default=8)
@@ -62,6 +63,7 @@ def main() -> int:
         fuzzy_term_match,
         phrase_match,
         prefix_terms,
+        related_terms,
         substring_search,
     )
 
@@ -73,6 +75,8 @@ def main() -> int:
         out = substring_search(docs, query).orderBy(
             F.desc("n_occurrences"), "doc_id"
         )
+    elif args.mode == "related":
+        out = related_terms(docs, query)
     elif args.mode in ("fuzzy", "prefix"):
         vocab = docs.select(F.explode(tokens_expr("text")).alias("term"))
         if args.mode == "fuzzy":
