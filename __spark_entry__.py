@@ -29,10 +29,12 @@ Coverage map (SURVEY §2 rows -> queries):
                                pack_sequences, stratified_sample
   curation suite (r3)       -> repetition_stats, top_bigrams,
                                decontaminate, pii_scrub,
-                               source_dup_stats, corpus_report
+                               source_dup_stats, corpus_report,
+                               dedup_clusters, simhash_pairs
   code/search suite (r3)    -> code_subtokens, code_stats,
                                phrase_search, substring_search,
-                               fuzzy_terms, prefix_terms
+                               fuzzy_terms, prefix_terms,
+                               related_terms
   Spark-primitive demos     -> lineitem_rollup, events_hourly,
                                sessionize, asof_latest_order,
                                tpch_q3ish
