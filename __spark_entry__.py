@@ -681,6 +681,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("t").alias("total_tokens"),
         )
 
+    def unigram_xent_q(spark, sf_dir):
+        # perplexity-proxy quality signal: per-doc unigram
+        # cross-entropy against the corpus's own distribution
+        from invertedindexbuilder_spark.operators.curation import (
+            unigram_cross_entropy,
+        )
+
+        return unigram_cross_entropy(
+            _documents(spark, sf_dir).select("doc_id", "text")
+        )
+
     def repetition_stats_q(spark, sf_dir):
         # Gopher-style repeat filters: dup-word fraction + top-bigram
         # occupancy (operators/curation.py)
@@ -1227,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": stratified_sample_q,
         "content_hash": content_hash,
         "corpus_report": corpus_report_q,
+        "unigram_xent": unigram_xent_q,
         "repetition_stats": repetition_stats_q,
         "top_bigrams": top_bigrams_q,
         "decontaminate": decontaminate_q,
@@ -1419,6 +1431,16 @@ def oracle_sql() -> dict[str, str]:
             "sum(t)::BIGINT AS total_tokens "
             "FROM lang JOIN qual USING (doc_id) JOIN tok USING (doc_id) "
             "GROUP BY lang_pred"
+        ),
+        "unigram_xent": (
+            "WITH occ AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t "
+            "FROM documents), "
+            "counts AS (SELECT t, count(*)::BIGINT AS cf FROM occ GROUP BY t), "
+            "tot AS (SELECT count(*)::DOUBLE AS n FROM occ) "
+            "SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+            "round(-avg(log2(cf / tot.n)), 6) AS xent "
+            "FROM occ JOIN counts USING (t) CROSS JOIN tot GROUP BY doc_id"
         ),
         "repetition_stats": (
             "WITH w AS (SELECT doc_id, "

@@ -177,6 +177,39 @@ def decontaminate(
     )
 
 
+def unigram_cross_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc unigram cross-entropy against the corpus's own unigram
+    distribution — the cheap perplexity-proxy quality signal (CCNet
+    shape: out-of-distribution gibberish scores HIGH, formulaic
+    boilerplate scores LOW).  score = -mean(log2 p(token)), p from
+    corpus occurrence counts.  Columns: doc_id, n_tokens, xent
+    (rounded to 6); docs with no tokens are absent.
+
+    Scale: one occurrence-count groupBy (map-side combined, so Zipf
+    skew ships one row per task); the vocabulary-sized count table
+    joins back on the token key and the per-doc mean is one groupBy on
+    doc_id.  Two corpus passes (counts, then scoring) — materialize
+    the counts table once to score many corpora against a fixed
+    reference distribution."""
+    occ = _spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(text_col)).alias("t"),
+    )
+    counts = occ.groupBy("t").agg(F.count("*").cast("long").alias("_cf"))
+    total = occ.count()
+    return (
+        occ.join(counts, "t")
+        .withColumn("_lp", F.log2(F.col("_cf") / F.lit(float(total))))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(-F.avg("_lp"), 6).alias("xent"),
+        )
+    )
+
+
 def source_dup_stats(
     docs: DataFrame, source_col: str = "source", text_col: str = "text"
 ) -> DataFrame:

@@ -136,3 +136,25 @@ def test_same_source_exact_dup_not_cross(spark):
     )
     out = {r["source"]: r for r in source_dup_stats(df).collect()}
     assert out["s1"]["n_cross_dup"] == 0 and out["s2"]["n_cross_dup"] == 0
+
+
+def test_unigram_cross_entropy_hand(spark):
+    import math
+
+    from invertedindexbuilder_spark.operators.curation import (
+        unigram_cross_entropy,
+    )
+
+    # corpus: tokens a a a b  -> p(a)=3/4, p(b)=1/4
+    out = {
+        r["doc_id"]: r
+        for r in unigram_cross_entropy(
+            _docs(spark, [(0, "a a a"), (1, "b"), (2, "")])
+        ).collect()
+    }
+    assert set(out) == {0, 1}  # token-less doc absent
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["xent"] == pytest.approx(-math.log2(3 / 4), abs=1e-6)
+    # the rare-token doc scores HIGHER (more surprising)
+    assert out[1]["xent"] == pytest.approx(-math.log2(1 / 4), abs=1e-6)
+    assert out[1]["xent"] > out[0]["xent"]
