@@ -369,6 +369,24 @@ def _chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return env["chunks"]
 
 
+_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified MinHash-LSH near-dup pairs over the planted-duplicate
+    corpus, computed ONCE per sf_dir — minhash_dedup localCheckpoints
+    its (small) output, so the three gates that consume the pair set
+    (dedup_minhash_lsh, dedup_clusters, curated_corpus) share one LSH
+    pass instead of re-running the shingle pipeline each."""
+    if sf_dir not in _PAIRS_CACHE:
+        from invertedindexbuilder_spark.operators.dedup import minhash_dedup
+
+        _PAIRS_CACHE[sf_dir] = minhash_dedup(
+            _dedup_corpus(spark, sf_dir), threshold=0.6
+        )
+    return _PAIRS_CACHE[sf_dir]
+
+
 def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _documents(spark, sf_dir).select("doc_id", "text")
     head = d.filter(F.col("doc_id") < 20)
@@ -477,7 +495,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invertedindexbuilder_spark.operators.dedup import (
         exact_duplicate_groups,
         jaccard_pairs,
-        minhash_dedup,
         simhash,
     )
     from invertedindexbuilder_spark.operators.similarity import (
@@ -834,14 +851,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def related_terms_q(spark, sf_dir):
         # query expansion: PMI-ranked co-occurring terms; the explode
-        # is semi-join-restricted to docs containing the query term
+        # is semi-join-restricted to docs containing the query term.
+        # Served from MATERIALIZED artifacts (docs=None) — the at-scale
+        # posture where no corpus-wide job runs at query time.
         from invertedindexbuilder_spark.operators.textsearch import (
+            doc_term_postings,
             related_terms,
+            term_dfs,
         )
 
+        d = _documents(spark, sf_dir).select("doc_id", "text")
+        dt = doc_term_postings(d)
         return related_terms(
-            _documents(spark, sf_dir).select("doc_id", "text"),
-            "data", k=20, min_co_df=2,
+            None, "data", k=20, min_co_df=2,
+            doc_terms=dt, dfs=term_dfs(dt), n_docs=d.count(),
         )
 
     def fuzzy_terms_q(spark, sf_dir):
@@ -894,7 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return jaccard_pairs(_dedup_corpus(spark, sf_dir), n=3, threshold=0.6)
 
     def dedup_minhash_lsh(spark, sf_dir):
-        return minhash_dedup(_dedup_corpus(spark, sf_dir), threshold=0.6)
+        return _minhash_pairs(spark, sf_dir)
 
     def simhash_pairs_q(spark, sf_dir):
         # Hamming-banded simhash near-dup (Manku/Jain/Sarma): exact
@@ -912,7 +935,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup_clusters,
         )
 
-        return dedup_clusters(_dedup_corpus(spark, sf_dir), threshold=0.6)
+        return dedup_clusters(
+            _dedup_corpus(spark, sf_dir),
+            threshold=0.6,
+            pairs=_minhash_pairs(spark, sf_dir),
+        )
 
     def simhash_q(spark, sf_dir):
         return simhash(_documents(spark, sf_dir).select("doc_id", "text"))
@@ -948,11 +975,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pruned-probe recall story is measured in test_kmeans_ivf.py
         from invertedindexbuilder_spark.operators.similarity import (
             ivf_kmeans_topk,
+            kmeans_fit,
         )
 
+        emb = _embeddings(spark, sf_dir)
+        # at-scale posture (kmeans_fit docstring): train on a bounded
+        # sample, assign the full corpus once.  probe_all keeps the
+        # gate exact regardless of the trained centroids.
+        cents = kmeans_fit(emb.filter(F.col("vec_id") < 256), k=8, iters=2)
         return ivf_kmeans_topk(
-            _embeddings(spark, sf_dir), query_vec_id=0, k=10,
-            n_cells=8, iters=3, probe_all=True,
+            emb, query_vec_id=0, k=10, centroids=cents, probe_all=True,
         )
 
     def embed_near_dup(spark, sf_dir):
@@ -1119,10 +1151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lang_id,
             quality_score,
         )
-        from invertedindexbuilder_spark.operators.dedup import minhash_dedup
-
         corpus = _dedup_corpus(spark, sf_dir)
-        pairs = minhash_dedup(corpus, threshold=0.6)
+        pairs = _minhash_pairs(spark, sf_dir)
         losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         return (
             corpus.join(losers, "doc_id", "left_anti")
@@ -1215,6 +1245,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     return {
+        # r3 gate-coverage hole: the driver's run is time-budgeted and
+        # walks this dict in order — the nine entries that got no
+        # CORRECTNESS_r03 row (they were last) now run FIRST, cheapest
+        # leading, so a budget cut can never blank them again.
+        "media_features": media_features,
+        "media_frames": media_frames,
+        "events_hourly": events_hourly,
+        "sessionize": sessionize,
+        "asof_latest_order": asof_latest_order,
+        "tpch_q3ish": tpch_q3ish,
+        "curated_corpus": curated_corpus,
+        "index_compacted": index_compacted,
+        "index_federated": index_federated,
         "postings": postings,
         "term_stats": term_stats,
         "corpus_stats": corpus_stats,
@@ -1265,15 +1308,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": embed_near_dup,
         "fingerprint_winnow": fingerprint_winnow,
         "lineitem_rollup": lineitem_rollup,
-        "sessionize": sessionize,
-        "index_compacted": index_compacted,
-        "index_federated": index_federated,
-        "events_hourly": events_hourly,
-        "curated_corpus": curated_corpus,
-        "asof_latest_order": asof_latest_order,
-        "tpch_q3ish": tpch_q3ish,
-        "media_features": media_features,
-        "media_frames": media_frames,
     }
 
 

@@ -130,7 +130,8 @@ def main() -> int:
         # tests/test_bmw_or.py).  or_prune=True forces the pruning path
         # below its auto threshold (at 100k docs its 2 extra driver
         # jobs cost more than the skipped decode saves — which is
-        # exactly why the default is "auto", off under 1M docs);
+        # exactly why the default is "auto", off below the measured
+        # ~30M-doc crossover — scripts/bench_bmw.py, BENCH/SCALE.md);
         # the unpruned variant is timed for the contrast. ----
         t0 = time.time()
         topk_bm25_chunked(
@@ -159,6 +160,73 @@ def main() -> int:
             timings["build_chunks_only"] = time.time() - t0
         finally:
             shutil.rmtree(out2, ignore_errors=True)
+
+        # ---- q5d: 1M-doc query suite (VERDICT r3 #3) — the corpus is
+        # big enough that the heavy 'common' list (~950k postings)
+        # spans many chunks, and every auto pruning decision runs LIVE
+        # (at 1M docs auto keeps both pruners OFF, matching the
+        # measured ~30M-doc crossover; the forced-BMW entry shows the
+        # overhead auto avoids).  FIXTURES oracle token profile keeps
+        # the heavy/light dfs identical to the scaling corpus while
+        # the build stays bench-affordable. ----
+        big_docs = int(os.environ.get("SPARK_GRAFT_BIG_DOCS", "1000000"))
+        if big_docs:
+            from invertedindexbuilder_spark.operators.query_batch import (
+                topk_bm25_batch,
+            )
+
+            out3 = tempfile.mkdtemp(prefix="bench_idx_big_")
+            try:
+                t0 = time.time()
+                build(
+                    spark,
+                    synthetic_docs_src(spark, big_docs),
+                    out3,
+                    merged=False,
+                )
+                timings["big_build_chunks"] = time.time() - t0
+                cat3 = Catalog(spark, out3)
+                chunks3 = cat3.read("index_chunks").cache()
+                docs3 = cat3.read("docs").select("doc_id", "doc_len").cache()
+                chunks3.count(), docs3.count()
+                stats3 = load_stats(spark, out3)
+
+                t0 = time.time()
+                topk_bm25_chunked(
+                    spark, chunks3, docs3, stats3, "common rare0007",
+                    mode="and", k=10,
+                ).collect()
+                timings["big_bm25_and"] = time.time() - t0
+                t0 = time.time()
+                topk_bm25_chunked(
+                    spark, chunks3, docs3, stats3,
+                    "rare0007 rare0123 common", mode="or", k=10,
+                ).collect()
+                timings["big_bm25_or"] = time.time() - t0
+                t0 = time.time()
+                topk_bm25_chunked(
+                    spark, chunks3, docs3, stats3,
+                    "rare0007 rare0123 common", mode="or", k=10,
+                    or_prune=True,
+                ).collect()
+                timings["big_bm25_or_bmw_forced"] = time.time() - t0
+                qtab = spark.createDataFrame(
+                    [
+                        (0, "common rare0007"),
+                        (1, "alpha rare0123"),
+                        (2, "rare0042 beta"),
+                    ],
+                    "query_id long, text string",
+                )
+                t0 = time.time()
+                topk_bm25_batch(
+                    spark, chunks3, docs3, stats3, qtab, mode="and", k=10
+                ).collect()
+                timings["big_bm25_batch_and"] = time.time() - t0
+                chunks3.unpersist()
+                docs3.unpersist()
+            finally:
+                shutil.rmtree(out3, ignore_errors=True)
 
         # ---- q6: minhash-LSH near-dup over the shared documents table
         # (md5 = oracle-comparable mode; xxhash = production fast path) ----
@@ -203,26 +271,42 @@ def main() -> int:
         substring_search(d, "le part").count()
         timings["substring_search"] = time.time() - t0
 
-        # served variants: the one-time index materialization is paid
-        # outside the timer (a deployment builds these tables once);
-        # the timed number is pure query latency
+        # served variants from the STORED search tables (r4: written by
+        # plans.build.build_search_tables, the build_index.py
+        # --search-tables artifact): the one-time materialization is
+        # paid outside the timer (a deployment builds these tables
+        # once); the timed number is pure query latency against the
+        # range-partitioned parquet — probe pushdown and all.
         from invertedindexbuilder_spark.operators.textsearch import (
-            char_trigram_postings,
-            positional_postings,
+            related_terms,
+        )
+        from invertedindexbuilder_spark.plans.build import (
+            build_search_tables,
+            load_search_tables,
         )
 
-        tg = char_trigram_postings(d).cache()
-        tg.count()
-        t0 = time.time()
-        substring_search(d, "le part", trigrams=tg).count()
-        timings["substring_search_indexed"] = time.time() - t0
-        pp = positional_postings(d).cache()
-        pp.count()
-        t0 = time.time()
-        phrase_match(d, "slow hash batch", postings=pp).count()
-        timings["phrase_search_indexed"] = time.time() - t0
-        tg.unpersist()
-        pp.unpersist()
+        sroot = tempfile.mkdtemp(prefix="bench_searchidx_")
+        try:
+            build_search_tables(spark, d, sroot)
+            st = load_search_tables(spark, sroot)
+            t0 = time.time()
+            substring_search(
+                d, "le part", trigrams=st["char_trigrams"]
+            ).count()
+            timings["substring_search_indexed"] = time.time() - t0
+            t0 = time.time()
+            phrase_match(
+                d, "slow hash batch", postings=st["positional_postings"]
+            ).count()
+            timings["phrase_search_indexed"] = time.time() - t0
+            t0 = time.time()
+            related_terms(
+                None, "data", doc_terms=st["doc_terms"],
+                dfs=st["term_dfs"], n_docs=st["n_docs"],
+            ).count()
+            timings["related_terms_indexed"] = time.time() - t0
+        finally:
+            shutil.rmtree(sroot, ignore_errors=True)
 
         total = time.time() - t_all
         build_s = timings["build_index"]
@@ -236,6 +320,7 @@ def main() -> int:
                     "sf": sf,
                     "docs": n_docs_sf,
                     "build_docs": bench_docs,
+                    "big_docs": big_docs,
                     "terms": n_terms,
                     "build_docs_per_sec": round(bench_docs / build_s, 1),
                     "salted_terms": manifest["phases"]["index"]["salted_terms"],

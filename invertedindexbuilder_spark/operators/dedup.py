@@ -435,13 +435,19 @@ def dedup_clusters(
     threshold: float = 0.7,
     text_col: str = "text",
     hash_mode: str = "md5",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup groups as CLUSTERS: minhash_dedup pairs -> connected
     components -> (doc_id, cluster, keep) where keep=1 marks the
     cluster's minimum doc_id (the canonical survivor).  Docs without
-    any near-dup are absent (singleton clusters carry no decision)."""
-    pairs = minhash_dedup(docs, threshold=threshold, text_col=text_col,
-                          hash_mode=hash_mode)
+    any near-dup are absent (singleton clusters carry no decision).
+
+    Pass a precomputed (doc_a, doc_b) ``pairs`` frame (e.g. a stored
+    minhash_dedup output) to skip the LSH stage — the at-scale posture
+    where the pair set is materialized once and reused."""
+    if pairs is None:
+        pairs = minhash_dedup(docs, threshold=threshold, text_col=text_col,
+                              hash_mode=hash_mode)
     cc = connected_components(pairs)
     return cc.select(
         "doc_id",

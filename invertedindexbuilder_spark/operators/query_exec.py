@@ -68,12 +68,23 @@ HEAVY_QUERY_DF = 8192
 # driver for the pruning pass; above it the OR falls back to full
 # decode (which is correct, just does more IO)
 BMW_CANDIDATE_LIMIT = 200_000
-# or_prune="auto": engage BMW only at corpora where a heavy list is big
-# enough that skipped decode pays for the pruning pass's 2 extra small
-# driver jobs (measured ~1 s of pure job overhead each on local[32]; a
-# sub-1M-doc corpus full-decodes faster than it prunes, a 10^12-doc
-# stopword decodes ~10^10 blocks without it)
-AUTO_OR_PRUNE_MIN_DOCS = 1_000_000
+# or_prune="auto": engage BMW only where skipped decode pays for the
+# pruning pass's fixed extra-job overhead.  MEASURED r4 (scripts/
+# bench_bmw.py on the 1M-doc pinned corpus, local[32], k=10, 2 light +
+# N heavy ~0.95-df lists): full decode+score of ONE extra ~950k-posting
+# heavy list costs ~54 ms (slope of or_full over n_heavy: 1.98 s ->
+# 2.36 s for 1 -> 8 heavies) while the pruning pass carries ~1.65 s of
+# flat multi-job overhead (or_bmw ~3.6 s regardless of heavy count).
+# Break-even = 1.65 / 0.054e-6 ~ 3e7 heavy postings per query, i.e. a
+# ~3e7-doc corpus for a stopword-bearing query — hence 30M, NOT the r3
+# guess of 1M (at 1M docs forced pruning measured 1.8-2.6 s SLOWER).
+# The overhead term is driver/scheduler latency (cluster-size
+# invariant); the slope shrinks with executor count and grows with
+# storage latency when chunks come from remote object storage instead
+# of the page cache, so a real 10^12-doc deployment crosses over far
+# below its corpus size — recalibrate with bench_bmw.py on the target
+# cluster.  Full numbers in BENCH/SCALE.md.
+AUTO_OR_PRUNE_MIN_DOCS = 30_000_000
 
 
 def tokenize_query(query: str) -> list[str]:
@@ -536,44 +547,81 @@ def topk_bm25(
     )
 
 
-def lookup_chunk_rows(
+def _lookup_chunk_meta(
     chunks: DataFrame, terms: list[str], strict: bool = True
-) -> DataFrame:
-    """Match query terms against the CHUNKED index (INDEX_CHUNK).
+) -> tuple[DataFrame, dict]:
+    """Match query terms against the CHUNKED index (INDEX_CHUNK);
+    returns (matched rows, per-key winner metadata).
 
     Same lexicon semantics as :func:`lookup_index_rows` (the shared
     :func:`_match_keys` does the strict 14-byte matching for both
-    paths), but a matched term keeps ALL its chunk rows.  The per-key
-    winner and the full-term df are computed as TINY aggregates and
-    broadcast-joined back — NOT window functions, which would exchange
-    every chunk of a term into one partition and re-serialize the
-    heavy-term decode this layout exists to spread (pinned by
-    test_chunk_rows_decode_in_multiple_tasks).
+    paths), but a matched term keeps ALL its chunk rows.  ONE
+    metadata-only aggregate (payload column dropped, so the parquet
+    scan reads pruned metadata columns only) collects the tiny
+    per-(key, term) stats to the driver — O(#keys x collision-set)
+    rows — where the last-in-term-order collision winner (D5), the
+    full-term df, doc-range bound, and list-wide max tf are all
+    derived.  The winner set joins back as a broadcast LITERAL, so the
+    final plan holds exactly one payload-bearing chunk scan (pinned by
+    test_plan_shape.test_chunk_lookup_single_payload_scan) and the
+    AND/OR pruning decisions downstream need NO further aggregate jobs
+    (r3 VERDICT: the pruned chunk table was scanned twice per lookup
+    plus once per pruning meta collect).  Not window functions, which
+    would exchange every chunk of a term into one partition and
+    re-serialize the heavy-term decode this layout exists to spread
+    (pinned by test_chunk_rows_decode_in_multiple_tasks).
+
+    Winner dict values carry: term, term_df, weight, last_doc, mt.
     """
     weights = _key_weights(terms, strict)
+    empty = (
+        chunks.limit(0)
+        .withColumn("key", F.lit(""))
+        .withColumn("weight", F.lit(0))
+        .withColumn("term_df", F.lit(0).cast("long"))
+    )
     if not weights:
-        return (
-            chunks.limit(0)
-            .withColumn("key", F.lit(""))
-            .withColumn("weight", F.lit(0))
-            .withColumn("term_df", F.lit(0).cast("long"))
+        return empty, {}
+    meta_rows = (
+        _match_keys(chunks.drop("payload"), weights, strict)
+        .groupBy("key", "term")
+        .agg(
+            F.sum("df").cast("long").alias("term_df"),
+            F.max("weight").alias("weight"),
+            F.max(F.element_at("last_doc_ids", -1)).alias("last_doc"),
+            F.max(F.array_max("max_tf")).alias("mt"),
         )
-    matched = _match_keys(chunks, weights, strict)
-    # ONE tiny aggregate over the pruned chunk metadata computes both
-    # the full-term df and the last-in-term-order collision winner (D5):
-    # per_term has O(#keys x collision-set) rows, so the row_number
-    # window on it is trivial, and the main chunk scan happens exactly
-    # once more (broadcast join back preserves chunk partitioning).
-    per_term = matched.groupBy("key", "term").agg(
-        F.sum("df").cast("long").alias("term_df")
+        .collect()
     )
-    w = Window.partitionBy("key").orderBy(F.col("term").desc())
-    winner = (
-        per_term.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    winners: dict[str, dict] = {}
+    for r in meta_rows:
+        cur = winners.get(r["key"])
+        if cur is None or r["term"] > cur["term"]:
+            winners[r["key"]] = {
+                "term": r["term"],
+                "term_df": int(r["term_df"]),
+                "weight": int(r["weight"]),
+                "last_doc": int(r["last_doc"]),
+                "mt": int(r["mt"]),
+            }
+    if not winners:
+        return empty, {}
+    spark = chunks.sparkSession
+    winner_df = spark.createDataFrame(
+        [(k, w["term"], w["term_df"]) for k, w in winners.items()],
+        schema="key string, term string, term_df long",
     )
-    return matched.join(F.broadcast(winner), ["key", "term"])
+    matched = _match_keys(chunks, weights, strict).join(
+        F.broadcast(winner_df), ["key", "term"]
+    )
+    return matched, winners
+
+
+def lookup_chunk_rows(
+    chunks: DataFrame, terms: list[str], strict: bool = True
+) -> DataFrame:
+    """Matched chunk rows for ``terms`` (see :func:`_lookup_chunk_meta`)."""
+    return _lookup_chunk_meta(chunks, terms, strict)[0]
 
 
 def topk_bm25_chunked(
@@ -610,7 +658,7 @@ def topk_bm25_chunked(
     semantics as :func:`topk_bm25`.
     """
     terms = tokenize_query(query)
-    matched = lookup_chunk_rows(chunks, terms, strict=strict)
+    matched, winners = _lookup_chunk_meta(chunks, terms, strict=strict)
     if doc_filter is not None:
         docs = docs.filter(doc_filter)
     exclude_docs = None
@@ -631,21 +679,21 @@ def topk_bm25_chunked(
     if and_prune == "auto":
         and_prune = n_docs >= AUTO_OR_PRUNE_MIN_DOCS
 
+    # all pruning metadata below comes from the winners dict the
+    # lookup already collected — NO further aggregate jobs / chunk
+    # scans (r3 VERDICT #4: single-scan chunk lookup)
     min_doc, max_doc = 0, None
     n_keys = None
     decoded = None
     if mode == "and":
-        # one scalar row per key: full df + the term's overall last doc
-        meta = matched.groupBy("key").agg(
-            F.max("term_df").alias("df"),
-            F.max(F.element_at("last_doc_ids", -1)).alias("last_doc"),
-        ).collect()
-        n_keys = len(meta)
+        n_keys = len(winners)
         if n_keys == 0:
             return spark.createDataFrame([], schema="doc_id long, score double")
-        rare = min(meta, key=lambda r: r["df"])
-        if rare["df"] <= prune_collect_limit:
-            max_doc = int(rare["last_doc"])
+        rare_key, rare = min(
+            winners.items(), key=lambda kv: kv[1]["term_df"]
+        )
+        if rare["term_df"] <= prune_collect_limit:
+            max_doc = rare["last_doc"]
         if max_doc is not None:
             # chunks wholly above the rarest term's doc range never
             # even enter the decode stage (task-level pruning; block-
@@ -653,16 +701,15 @@ def topk_bm25_chunked(
             matched = matched.filter(F.col("first_doc_id") <= F.lit(max_doc))
         if and_prune and n_keys > 1:
             decoded = _try_candidate_and_decode(
-                spark, matched, rare["key"], int(rare["df"]),
+                spark, matched, rare_key, rare["term_df"],
                 cand_limit, counters,
             )
     elif mode == "or" and or_prune:
-        # one scalar row per key: full-term df, weight, list-wide max tf
-        meta = matched.groupBy("key").agg(
-            F.max("term_df").alias("df"),
-            F.max("weight").alias("weight"),
-            F.max(F.array_max("max_tf")).alias("mt"),
-        ).collect()
+        meta = [
+            {"key": k, "df": w["term_df"], "weight": w["weight"],
+             "mt": w["mt"]}
+            for k, w in winners.items()
+        ]
         decoded = _try_bmw_or_decode(
             spark, matched, meta, docs, stats, n_docs, davr,
             k, heavy_df, cand_limit, counters,

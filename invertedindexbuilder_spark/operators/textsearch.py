@@ -211,13 +211,37 @@ def prefix_terms(
     )
 
 
+def doc_term_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (doc_id, t) pairs — the materializable doc-term index
+    behind :func:`related_terms` (and any doc-level co-occurrence op).
+    At scale, write it once partitioned/sorted by ``t`` so per-term
+    lookups prune files, exactly like ``char_trigram_postings``."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_expr(text_col))).alias("t"),
+    )
+
+
+def term_dfs(doc_terms: DataFrame) -> DataFrame:
+    """Global (t, df) document frequencies from a doc-term frame —
+    the second stored artifact ``related_terms`` consumes."""
+    return doc_terms.groupBy("t").agg(
+        F.count("*").cast("long").alias("df")
+    )
+
+
 def related_terms(
-    docs: DataFrame,
+    docs: DataFrame | None,
     term: str,
     k: int = 20,
     min_co_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    doc_terms: DataFrame | None = None,
+    dfs: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Query-expansion candidates: terms co-occurring with ``term``
     (doc-level), ranked by a PMI-style association score
@@ -228,17 +252,32 @@ def related_terms(
     containing the query term explode their vocabularies (a semi-join
     against the term's posting docs, never the whole corpus), and the
     per-term dfs come from a count over distinct (doc, term) pairs of
-    that restricted set joined to global dfs.  One corpus-wide pass
-    computes global dfs; materialize it once for repeated expansion
-    queries."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tokens_expr(text_col))).alias("t"),
-    )
-    n_docs = docs.select(id_col).distinct().count()
-    dfs = toks.groupBy("t").agg(F.count("*").cast("long").alias("df"))
+    that restricted set joined to global dfs.
+
+    The corpus-wide inputs are all injectable, mirroring
+    ``substring_search(trigrams=...)``: pass a materialized
+    ``doc_terms`` (:func:`doc_term_postings`), ``dfs``
+    (:func:`term_dfs`), and ``n_docs`` (from the build's stats table)
+    and NO corpus-wide job runs at query time — ``docs`` may then be
+    ``None`` (pinned in tests/test_textsearch.py), so an accidental
+    corpus scan is structurally impossible.  Ad hoc (artifacts omitted)
+    each is derived from ``docs`` as before."""
+    if doc_terms is None:
+        if docs is None:
+            raise ValueError("need docs when doc_terms is not supplied")
+        doc_terms = doc_term_postings(docs, text_col=text_col, id_col=id_col)
+    toks = doc_terms.select("doc_id", "t")
+    if n_docs is None:
+        if docs is None:
+            raise ValueError("need docs or n_docs")
+        n_docs = docs.select(id_col).distinct().count()
+    if dfs is None:
+        dfs = term_dfs(toks)
     with_term = toks.filter(F.col("t") == term).select("doc_id")
-    df_term = with_term.count()
+    # df_term is one row of the dfs artifact — a pruned lookup, not a
+    # posting scan, when dfs is a stored table
+    df_row = dfs.filter(F.col("t") == term).select("df").collect()
+    df_term = int(df_row[0]["df"]) if df_row else 0
     if df_term == 0:
         return (
             toks.limit(0)

@@ -1,0 +1,133 @@
+"""Measure the BMW OR-pruning wall-clock crossover (VERDICT r3 #2).
+
+The block-max OR path (query_exec.decode_matched_rows_bmw) is exact and
+decode-skipping by construction (tests/test_bmw_or.py pins both), but
+its 2 extra small driver jobs cost real seconds — so the ``or_prune=
+"auto"`` threshold must come from DATA, not an estimate.  This script
+builds chunk-only indexes at several corpus sizes from the FIXTURES.md
+synthetic source-code generator (token_range (200, 1601) — the
+bench/scaling corpus profile, 'common' is a ~95%-df stopword) and times
+the same disjunctive query with pruning forced ON vs OFF, plus the
+conjunctive candidate-decode path ON vs OFF.
+
+    python scripts/bench_bmw.py [--sizes 100000,300000,1000000]
+                                [--cores 32] [--reps 3] [--keep]
+
+Prints one JSON line per size plus a summary line; indexes cached under
+/tmp/iib_bmw (``--keep`` leaves them for reuse across runs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+WORK = "/tmp/iib_bmw"
+
+OR_QUERY = "rare0007 rare0123 common"   # 2 light lists + 1 heavy stopword
+AND_QUERY = "rare0007 common"           # rarest-list candidate decode
+
+
+def ensure_index(spark, n_docs: int) -> str:
+    from invertedindexbuilder_spark.plans.build import build
+    from invertedindexbuilder_spark.sources.docs_src import synthetic_docs_src
+
+    out = os.path.join(WORK, f"idx_{n_docs}")
+    if os.path.exists(os.path.join(out, "tables.json")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    build(
+        spark,
+        synthetic_docs_src(spark, n_docs, token_range=(200, 1601)),
+        out,
+        merged=False,
+    )
+    print(f"# built chunks-only idx_{n_docs} in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    return out
+
+
+def timed(fn, reps: int) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="100000,300000,1000000")
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    from invertedindexbuilder_spark.catalog import Catalog
+    from invertedindexbuilder_spark.operators.query_exec import (
+        topk_bm25_chunked,
+    )
+    from invertedindexbuilder_spark.plans.build import load_stats
+    from invertedindexbuilder_spark.session import get_spark
+
+    os.makedirs(WORK, exist_ok=True)
+    spark = get_spark(app_name="bench-bmw", cores=args.cores,
+                      shuffle_partitions=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = []
+    for n in sizes:
+        out = ensure_index(spark, n)
+        cat = Catalog(spark, out)
+        chunks = cat.read("index_chunks").cache()
+        docs = cat.read("docs").select("doc_id", "doc_len").cache()
+        chunks.count(), docs.count()
+        stats = load_stats(spark, out)
+
+        def run(query, mode, **kw):
+            return lambda: topk_bm25_chunked(
+                spark, chunks, docs, stats, query, mode=mode, k=10, **kw
+            ).collect()
+
+        # warm both paths once (python workers / codegen) outside the clock
+        run(OR_QUERY, "or", or_prune=True)()
+        run(OR_QUERY, "or", or_prune=False)()
+        row = {
+            "n_docs": n,
+            "or_bmw": timed(run(OR_QUERY, "or", or_prune=True), args.reps),
+            "or_full": timed(run(OR_QUERY, "or", or_prune=False), args.reps),
+            "and_prune": timed(
+                run(AND_QUERY, "and", and_prune=True), args.reps
+            ),
+            "and_full": timed(
+                run(AND_QUERY, "and", and_prune=False), args.reps
+            ),
+        }
+        row["or_bmw_minus_full"] = round(row["or_bmw"] - row["or_full"], 3)
+        row["and_prune_minus_full"] = round(
+            row["and_prune"] - row["and_full"], 3
+        )
+        print(json.dumps(row))
+        results.append(row)
+        chunks.unpersist()
+        docs.unpersist()
+        if not args.keep:
+            shutil.rmtree(out, ignore_errors=True)
+
+    print(json.dumps({"summary": results, "cores": args.cores,
+                      "or_query": OR_QUERY, "and_query": AND_QUERY}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -57,6 +57,12 @@ def main() -> int:
                          "pinned scaling efficiency, equal throughput at "
                          ">=8 cores; pandas: Arrow-batched, ~30%% faster "
                          "at very low core counts")
+    ap.add_argument("--search-tables", action="store_true",
+                    help="also materialize the search-extension "
+                         "indexes (positional postings, char trigrams, "
+                         "fuzzy deletion variants, doc-term/df tables) "
+                         "into the same catalog; search_cli.py "
+                         "--search-index serves from them")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the pre-timing warm-up job")
     ap.add_argument("--cores", type=int, default=None,
@@ -148,6 +154,22 @@ def main() -> int:
         merged=not args.chunks_only,
     )
     wall = time.time() - t0
+    search_counts = None
+    if args.search_tables:
+        from invertedindexbuilder_spark.catalog import Catalog
+        from invertedindexbuilder_spark.plans.build import (
+            build_search_tables,
+        )
+
+        # search tables tokenize CONTENT: join the durable source text
+        # onto the build's doc ids (the docs table is metadata-only)
+        docs_meta = Catalog(spark, args.out).read("docs").select(
+            "doc_id", "repo", "path", "commit"
+        )
+        with_text = docs_meta.join(src, ["repo", "path", "commit"]).select(
+            "doc_id", F.coalesce(F.col("content"), F.lit("")).alias("text")
+        )
+        search_counts = build_search_tables(spark, with_text, args.out)
     n_docs = manifest["phases"]["docs"]["rows"]
     print(
         json.dumps(
@@ -158,6 +180,7 @@ def main() -> int:
                 "payload_bytes": manifest["phases"]["index"]["payload_bytes"],
                 "wall_s": round(wall, 2),
                 "docs_per_sec": round(n_docs / wall, 1),
+                **({"search_tables": search_counts} if search_counts else {}),
             }
         )
     )

@@ -28,6 +28,12 @@ def main() -> int:
     ap.add_argument("--mode", required=True,
                     choices=["phrase", "substring", "fuzzy", "prefix",
                              "subtoken", "related"])
+    ap.add_argument("--search-index",
+                    help="index root holding the materialized search "
+                         "tables (build_index.py --search-tables); when "
+                         "given, phrase/substring/fuzzy/prefix/related "
+                         "serve from the stored tables instead of "
+                         "re-deriving them from --input")
     ap.add_argument("--max-dist", type=int, default=1, help="fuzzy edit distance")
     ap.add_argument("--limit", type=int, default=20)
     ap.add_argument("--cores", type=int, default=8)
@@ -67,22 +73,44 @@ def main() -> int:
         substring_search,
     )
 
-    if args.mode == "phrase":
-        out = phrase_match(docs, query).orderBy(
-            F.desc("n_occurrences"), "doc_id"
-        )
-    elif args.mode == "substring":
-        out = substring_search(docs, query).orderBy(
-            F.desc("n_occurrences"), "doc_id"
-        )
-    elif args.mode == "related":
-        out = related_terms(docs, query)
-    elif args.mode in ("fuzzy", "prefix"):
-        vocab = docs.select(F.explode(tokens_expr("text")).alias("term"))
-        if args.mode == "fuzzy":
-            out = fuzzy_term_match(vocab, query, args.max_dist).orderBy(
-                "distance", "term"
+    idx = None
+    if args.search_index:
+        from invertedindexbuilder_spark.plans.build import load_search_tables
+
+        idx = load_search_tables(spark, args.search_index)
+        if args.mode == "fuzzy" and args.max_dist > idx["max_dist"]:
+            ap.error(
+                f"--max-dist {args.max_dist} exceeds the stored fuzzy "
+                f"index's max_dist={idx['max_dist']}; rebuild with a "
+                "bigger --max-dist or drop --search-index"
             )
+
+    if args.mode == "phrase":
+        out = phrase_match(
+            docs, query, postings=idx and idx["positional_postings"]
+        ).orderBy(F.desc("n_occurrences"), "doc_id")
+    elif args.mode == "substring":
+        out = substring_search(
+            docs, query, trigrams=idx and idx["char_trigrams"]
+        ).orderBy(F.desc("n_occurrences"), "doc_id")
+    elif args.mode == "related":
+        if idx:
+            out = related_terms(
+                None, query, doc_terms=idx["doc_terms"],
+                dfs=idx["term_dfs"], n_docs=idx["n_docs"],
+            )
+        else:
+            out = related_terms(docs, query)
+    elif args.mode in ("fuzzy", "prefix"):
+        if idx:
+            vocab = idx["term_dfs"].select(F.col("t").alias("term"))
+        else:
+            vocab = docs.select(F.explode(tokens_expr("text")).alias("term"))
+        if args.mode == "fuzzy":
+            out = fuzzy_term_match(
+                vocab, query, args.max_dist,
+                variants=idx and idx["fuzzy_variants"],
+            ).orderBy("distance", "term")
         else:
             out = prefix_terms(vocab, query).orderBy("term")
     else:  # subtoken: show the identifier split (code-search debugging)

@@ -70,16 +70,18 @@ def test_merged_lookup_never_exchanges_payload_rows(tables):
     assert "PushedFilters" in plan and "GreaterThanOrEqual(term," in plan
 
 
-def test_chunk_lookup_never_exchanges_chunk_rows(tables):
+def test_chunk_lookup_single_payload_scan(tables):
+    """r4: the winner/df metadata is collected driver-side during
+    lookup (one payload-free aggregate job), so the RETURNED plan holds
+    exactly ONE chunk-table scan — the payload-bearing decode feed —
+    and no non-broadcast exchange carries payload bytes."""
     plan = _plan(lookup_chunk_rows(tables["chunks"], ["the", "mid"], strict=True))
+    assert "Window" not in plan
     for m in re.finditer(r"(?<!Broadcast)Exchange [^\n]*", plan):
         assert "payload" not in m.group(0)
-    # the winner/df aggregate side is column-pruned: it must not read
-    # the payload at all (one payload-bearing scan total; the FileScan
-    # output-column list is used because ReadSchema strings truncate)
     scans = re.findall(r"FileScan parquet \[[^\]]*\]", plan)
-    assert len(scans) == 2
-    assert sum("payload#" in s for s in scans) == 1
+    assert len(scans) == 1
+    assert "payload#" in scans[0]
 
 
 def test_bucketed_docs_join_shuffles_only_the_decoded_side(spark, tmp_path):

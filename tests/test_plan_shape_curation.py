@@ -71,3 +71,39 @@ def test_phrase_join_keys_are_doc_and_position(spark):
     # no cartesian/broadcast-nested-loop fallback: equi-join only
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_xent_counts_join_broadcasts(spark):
+    """VERDICT r3 #3: the occurrence->counts join-back keys a
+    corpus-scale frame on the Zipf-skewed token column; with a planted
+    hot token the counts side must be BROADCAST (vocab fits) so the
+    hot key never shuffles.  Forcing broadcast_counts=False is the
+    documented too-big-vocab fallback (AQE skew join)."""
+    from invertedindexbuilder_spark.operators.curation import (
+        unigram_cross_entropy,
+    )
+
+    hot = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        # every doc repeats the same hot token (a stopword at scale)
+        F.concat(
+            F.lit("common common common common tok"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    out = unigram_cross_entropy(hot)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    # correctness unchanged by the join strategy (without the hint
+    # Catalyst may still pick broadcast at this tiny size — the point
+    # of the explicit hint is to keep that guarantee when the counts
+    # frame exceeds autoBroadcastJoinThreshold but fits memory)
+    forced = unigram_cross_entropy(hot, broadcast_counts=False)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, forced.collect())
+    )
+    # the auto decision flips off above the vocab limit
+    tiny_limit = unigram_cross_entropy(hot, broadcast_vocab_limit=1)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, tiny_limit.collect())
+    )
