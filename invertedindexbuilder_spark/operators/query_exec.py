@@ -34,8 +34,12 @@ Disjunctive queries get set-at-a-time block-max pruning
 k-th best partial score) plus the candidate set; heavy-list blocks
 decode only if they may hold a candidate or their stored-max_tf upper
 bound (plus the other heavy lists' full-list bounds) can still reach
-theta — the one-pass exact form of the driver-local session's adaptive
-BMW loop (local_query.py), on the same Ding & Suel (SIGIR 2011) idea.
+theta — the one-pass form of the driver-local session's adaptive BMW
+loop (local_query.py), on the same Ding & Suel (SIGIR 2011) idea.
+That rule is exact only while heavy contributions are non-negative;
+negative-IDF heavy lists (df > N/2) route through a sound
+candidate-only variant with a driver-side bound check and a full-decode
+fallback (see _try_bmw_or_decode — the r4 soundness fix).
 Queries with no light/heavy mix, or with candidate volume beyond the
 driver bound, fall back to full decode — embarrassingly parallel over
 chunks, and still reference-parity (the reference's OR has only docid
@@ -233,6 +237,7 @@ def decode_matched_rows_bmw(
     min_doc_len: float,
     davr: float,
     counters: dict | None = None,
+    cand_only: bool = False,
 ) -> DataFrame:
     """Heavy-list decode with distributed block-max (BMW-style) pruning
     — the set-at-a-time analog of local_query._disjunctive, using the
@@ -242,14 +247,22 @@ def decode_matched_rows_bmw(
     (one seen in a fully-decoded light list — candidates must be scored
     exactly) or its score upper bound plus the other heavy terms'
     full-list upper bounds could still reach ``theta``.  Exactness
-    (same argument as local_query, one-pass form): for any doc d in the
-    true top-k, every block containing d satisfies
-    ub_t(block) + sum(other full ubs) >= score(d) >= theta_final >=
-    theta, so d decodes fully; a doc with a partially-decoded
-    (underestimated) score cannot displace a true top-k member, because
+    REQUIRES every heavy contribution to be non-negative (positive
+    IDF); the caller enforces that.  The argument (one-pass form of
+    local_query's): for any doc d in the true top-k, every block
+    containing d satisfies ub_t(block) + sum(other full ubs) >=
+    score(d) >= theta_final >= theta, so d decodes fully; a doc with a
+    partially-decoded (under non-negative contributions,
+    UNDERestimated) score cannot displace a true top-k member, because
     beating one would imply its true score is top-k — in which case it
-    decoded fully.  theta comes from the k-th best LIGHT-PARTIAL score,
-    a lower bound of the k-th best final score.
+    decoded fully.  theta comes from the k-th best LIGHT-PARTIAL score
+    — a lower bound of the k-th best final score, again because heavy
+    contributions cannot subtract.  For NEGATIVE-IDF heavy lists both
+    halves of that argument invert (partial scores OVERestimate); the
+    caller handles them with ``cand_only=True`` — emit postings for
+    candidate docs ONLY (ride-alongs in candidate-bearing blocks are
+    dropped in-decoder, so every emitted doc is scored exactly) —
+    plus a driver-side bound check (see _try_bmw_or_decode).
 
     ``counters``: optional {"decoded": acc, "total": acc} Spark
     accumulators for pruning instrumentation (tests assert decoded <<
@@ -299,6 +312,15 @@ def decode_matched_rows_bmw(
                     np.asarray(r.block_counts, dtype=np.int64),
                     keep,
                 )
+                if cand_only and docs.size:
+                    # sorted-membership filter: keep candidate docs
+                    # only (ride-alongs must not emit partial scores)
+                    pos = np.searchsorted(cand, docs)
+                    pos[pos == cand.size] = 0
+                    sel = cand[pos] == docs
+                    docs, tfs = docs[sel], tfs[sel]
+                if not docs.size:
+                    continue
                 yield pd.DataFrame(
                     {
                         "key": np.repeat(r.key, docs.size),
@@ -319,6 +341,8 @@ def _try_candidate_and_decode(
     rare_df: int,
     cand_limit: int,
     counters: dict | None,
+    rows_for=None,
+    all_keys: list[str] | None = None,
 ) -> DataFrame | None:
     """Conjunctive candidate-block pruning — the distributed form of
     local_query._conjunctive's progressive intersection: the rarest
@@ -335,10 +359,22 @@ def _try_candidate_and_decode(
     decode + O(rare_df) doc_id collect); worth it exactly where a query
     pairs a selective term with a stopword whose blocks would otherwise
     all decode — at 10^12 docs that is ~10^10 skipped blocks.
+
+    ``rows_for(keys)``: optional factory returning matched rows whose
+    SCAN predicate covers only ``keys`` — a plain ``matched.filter``
+    keeps every query term's range in the pushed filter, so the
+    rare-list job would read (and discard) the heavy terms' payload
+    bytes; at 10M docs that unpushed read measured 2x the whole
+    full-decode query (BENCH/SCALE.md r4).
     """
     if rare_df > cand_limit:
         return None
-    rare_rows = matched.filter(F.col("key") == F.lit(rare_key))
+    if rows_for is not None:
+        rare_rows = rows_for([rare_key])
+        other_rows = rows_for([k for k in all_keys if k != rare_key])
+    else:
+        rare_rows = matched.filter(F.col("key") == F.lit(rare_key))
+        other_rows = matched.filter(F.col("key") != F.lit(rare_key))
     cand = np.sort(
         np.array(
             [
@@ -352,7 +388,6 @@ def _try_candidate_and_decode(
     )
     if cand.size == 0:
         return decode_matched_rows(rare_rows.limit(0))
-    other_rows = matched.filter(F.col("key") != F.lit(rare_key))
     # theta=+inf with zero ub headroom degenerates the BMW keep rule to
     # candidate-overlap only — the shared decoder does the block skips
     import collections
@@ -376,6 +411,7 @@ def _try_bmw_or_decode(
     heavy_df: int,
     cand_limit: int,
     counters: dict | None,
+    rows_for=None,
 ) -> DataFrame | None:
     """Disjunctive pruning orchestration shared by the merged and
     chunked serving paths.  ``meta`` = one Row per key with (key, df,
@@ -388,6 +424,11 @@ def _try_bmw_or_decode(
       candidates) by contract — the r1 verdict's unbounded-collect
       lesson);
     - fewer than k light candidates (theta would be -inf).
+
+    ``rows_for(keys)``: optional scan-pushed row factory (see
+    _try_candidate_and_decode) — without it the light pass's scan
+    predicate still covers the heavy terms, reading their payload
+    bytes just to discard them.
     """
     heavy = [m for m in meta if m["df"] > heavy_df]
     light = [m for m in meta if m["df"] <= heavy_df]
@@ -398,14 +439,25 @@ def _try_bmw_or_decode(
 
     light_keys = [m["key"] for m in light]
     heavy_keys = [m["key"] for m in heavy]
-    light_rows = matched.filter(F.col("key").isin(light_keys))
-    heavy_rows = matched.filter(F.col("key").isin(heavy_keys))
+    if rows_for is not None:
+        light_rows = rows_for(light_keys)
+        heavy_rows = rows_for(heavy_keys)
+    else:
+        light_rows = matched.filter(F.col("key").isin(light_keys))
+        heavy_rows = matched.filter(F.col("key").isin(heavy_keys))
 
     # pass 1: exact partial scores from the light lists -> theta + the
-    # candidate doc set (bounded by cand_limit)
+    # candidate doc set (bounded by cand_limit).  The decoded light
+    # frame is cand_limit-bounded, the docs table is corpus-scale:
+    # BROADCAST the light side explicitly so the doc_len lookup is a
+    # map-side hash join over the docs scan — without the hint a
+    # 10^6+-row docs table exceeds autoBroadcastJoinThreshold and this
+    # pass SHUFFLES the whole corpus' doc_lens, which was most of the
+    # pruning path's measured fixed overhead (BENCH/SCALE.md r4).
     light_dec = decode_matched_rows(light_rows)
     prows = (
-        light_dec.join(docs.select("doc_id", "doc_len"), "doc_id")
+        docs.select("doc_id", "doc_len")
+        .join(F.broadcast(light_dec), "doc_id")
         .withColumn("contrib", F.col("weight") * bm25_expr(n_docs, davr))
         .groupBy("doc_id")
         .agg(F.sum("contrib").alias("p"))
@@ -424,6 +476,49 @@ def _try_bmw_or_decode(
         )
         for m in heavy
     }
+
+    if any(float(_idf(int(m["df"]), n_docs)) <= 0 for m in heavy):
+        # NEGATIVE-IDF heavy list(s) (df > N/2): the one-pass keep rule
+        # below is UNSOUND here — heavy contributions are negative, so
+        # a non-candidate doc riding along in ONE list's candidate
+        # block gets a partially-decoded (OVERestimated) score and can
+        # displace the true top-k (observed at 10M docs with 5
+        # stopword-scale lists: ride-alongs at -2.8 displaced the true
+        # -30.7 top-k; regression-pinned in test_bmw_or.py).  Sound
+        # variant: decode candidate-bearing heavy blocks ONLY, keep
+        # candidate postings only (ride-alongs dropped — candidates'
+        # scores are then EXACT since every block holding a candidate
+        # decodes), and verify driver-side that no heavy-only doc can
+        # reach the top-k: score(non-candidate) <= sum of the heavy
+        # lists' full ubs (0 for negative idf), so if the k-th best
+        # candidate FINAL exceeds that bound the candidate-only answer
+        # is exact; otherwise fall back to full decode (correct, and
+        # genuinely required — the top-k then hinges on tiny
+        # differences among near-identical negative sums).
+        heavy_cand = decode_matched_rows_bmw(
+            heavy_rows, cand_sorted, float("inf"),
+            {m["key"]: 0.0 for m in heavy},
+            n_docs, min_doc_len, davr, counters=counters, cand_only=True,
+        )
+        hrows = (
+            docs.select("doc_id", "doc_len")
+            .join(F.broadcast(heavy_cand), "doc_id")
+            .withColumn("contrib", F.col("weight") * bm25_expr(n_docs, davr))
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("h"))
+            .collect()
+        )
+        hmap = {r["doc_id"]: float(r["h"]) for r in hrows}
+        finals = sorted(
+            (float(r["p"]) + hmap.get(r["doc_id"], 0.0) for r in prows),
+            reverse=True,
+        )
+        theta_c = finals[k - 1]
+        ub_noncand = sum(full_ubs.values())
+        if theta_c <= ub_noncand:
+            return None
+        return decode_matched_rows(light_rows).unionByName(heavy_cand)
+
     total_ub = sum(full_ubs.values())
     others_ub = {key: total_ub - ub for key, ub in full_ubs.items()}
 
@@ -682,6 +777,22 @@ def topk_bm25_chunked(
     # all pruning metadata below comes from the winners dict the
     # lookup already collected — NO further aggregate jobs / chunk
     # scans (r3 VERDICT #4: single-scan chunk lookup)
+    def rows_for(keys: list[str]) -> DataFrame:
+        """Matched chunk rows whose SCAN predicate covers ONLY ``keys``
+        — the pruning passes use this so e.g. the rare/light decode
+        job never reads the stopword chunks' payload bytes (a filter
+        on the shared ``matched`` frame keeps every term's range in
+        the pushed filter; the key restriction only applies after the
+        payloads are already read)."""
+        w = {k: winners[k]["weight"] for k in keys}
+        wdf = spark.createDataFrame(
+            [(k, winners[k]["term"], winners[k]["term_df"]) for k in keys],
+            schema="key string, term string, term_df long",
+        )
+        return _match_keys(chunks, w, strict).join(
+            F.broadcast(wdf), ["key", "term"]
+        )
+
     min_doc, max_doc = 0, None
     n_keys = None
     decoded = None
@@ -700,9 +811,21 @@ def topk_bm25_chunked(
             # level pruning inside boundary chunks happens in decode)
             matched = matched.filter(F.col("first_doc_id") <= F.lit(max_doc))
         if and_prune and n_keys > 1:
+            # the rows_for frames get the same doc-range chunk pruning
+            # the shared matched frame has (pushed into their scans)
+            rf = rows_for
+            if max_doc is not None:
+                bound = max_doc
+
+                def rf(keys, _b=bound):
+                    return rows_for(keys).filter(
+                        F.col("first_doc_id") <= F.lit(_b)
+                    )
+
             decoded = _try_candidate_and_decode(
                 spark, matched, rare_key, rare["term_df"],
                 cand_limit, counters,
+                rows_for=rf, all_keys=list(winners),
             )
     elif mode == "or" and or_prune:
         meta = [
@@ -713,6 +836,7 @@ def topk_bm25_chunked(
         decoded = _try_bmw_or_decode(
             spark, matched, meta, docs, stats, n_docs, davr,
             k, heavy_df, cand_limit, counters,
+            rows_for=rows_for,
         )
 
     if decoded is None:

@@ -44,6 +44,15 @@ def main() -> int:
                     default=None,
                     help="with --spark: faceted search — a SQL predicate "
                          "over docs columns, e.g. 'doc_id % 3 = 0'")
+    ap.add_argument("--explain", action="store_true",
+                    help="with --spark: print a JSON line of pruning "
+                         "evidence to stderr after each query — blocks "
+                         "decoded vs total on the pruned paths (Spark "
+                         "accumulators) plus the effective or/and prune "
+                         "decisions the auto thresholds made")
+    ap.add_argument("--force-prune", action="store_true",
+                    help="with --explain: force or_prune/and_prune on "
+                         "below the auto threshold (measurement aid)")
     ap.add_argument("--snippets-from", metavar="DOCS_SRC_PARQUET",
                     help="also print a best-window snippet per result, "
                          "re-reading content from the source table "
@@ -187,10 +196,19 @@ def _spark_runner(args):
 
     def run(query: str, mode: str, k: int) -> None:
         t0 = time.time()
+        kw = {}
+        counters = None
+        if args.explain:
+            sc = spark.sparkContext
+            counters = {"decoded": sc.accumulator(0), "total": sc.accumulator(0)}
+            kw["counters"] = counters
+            if args.force_prune:
+                kw["or_prune"] = True
+                kw["and_prune"] = True
         res = exec_fn(
             spark, index, docs, stats, query,
             mode=mode, k=k, strict=not args.no_strict,
-            exclude=args.exclude, doc_filter=doc_filter,
+            exclude=args.exclude, doc_filter=doc_filter, **kw,
         )
         rows = res.join(docs.select("doc_id", "url"), "doc_id").orderBy(
             res["score"].desc(), "doc_id"
@@ -199,6 +217,33 @@ def _spark_runner(args):
         for r in rows:
             print(f"{r['score']:.6f}\t{r['doc_id']}\t{r['url']}")
         print(f"# {len(rows)} results in {dt:.0f} ms", file=sys.stderr)
+        if counters is not None:
+            import json as _json
+
+            from invertedindexbuilder_spark.operators.query_exec import (
+                AUTO_OR_PRUNE_MIN_DOCS,
+            )
+
+            auto_on = int(stats["n_docs"]) >= AUTO_OR_PRUNE_MIN_DOCS
+            total = int(counters["total"].value)
+            decoded = int(counters["decoded"].value)
+            print(
+                _json.dumps(
+                    {
+                        "query": query,
+                        "mode": mode,
+                        "prune_engaged": total > 0,
+                        "blocks_total": total,
+                        "blocks_decoded": decoded,
+                        "blocks_skipped": total - decoded,
+                        "auto_prune_on": bool(auto_on or args.force_prune),
+                        "auto_threshold_docs": AUTO_OR_PRUNE_MIN_DOCS,
+                        "n_docs": int(stats["n_docs"]),
+                        "ms": round(dt, 1),
+                    }
+                ),
+                file=sys.stderr,
+            )
 
     return run
 

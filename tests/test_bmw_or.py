@@ -171,3 +171,76 @@ def test_and_candidate_prune_nonempty_chunked(spark, env):
         "raretwo common", mode="and", k=10, round_digits=6, and_prune=False,
     ).collect()
     assert _key(pruned) == _key(full) and pruned
+
+
+@pytest.fixture(scope="module")
+def neg_env(spark):
+    """Two OVERLAPPING stopword-scale lists with strictly negative IDF
+    (df = 3N/4 > N/2) — the r4-discovered unsound case for the one-pass
+    keep rule: a doc riding along in ONE list's candidate-bearing block
+    used to get a partially-decoded score, and with negative
+    contributions partial = OVERestimate, so ride-alongs displaced the
+    true top-k (observed at 10M docs: ride-alongs at -2.8 vs the true
+    -30.7 winners)."""
+    rows = []
+    for d in range(N):
+        if d % 4 != 0:
+            rows.append(("hone", d, 1 + d % 2))
+        if d % 4 != 1:
+            rows.append(("htwo", d, 1 + d % 3))
+        if 3000 <= d < 3080:
+            rows.append(("rareone", d, 2))
+    postings = spark.createDataFrame(rows, "term string, doc_id long, tf long")
+    chunks = encode_chunks(postings, salt_threshold=4096, chunk_blocks=8).cache()
+    docs = spark.range(N).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(100) + F.col("id") % 40).cast("long").alias("doc_len"),
+    ).cache()
+    stats = {
+        "n_docs": N,
+        "sum_doc_len": sum(100 + d % 40 for d in range(N)),
+        "min_doc_len": 100,
+    }
+    return {"chunks": chunks, "docs": docs, "stats": stats}
+
+
+def test_or_pruned_exact_under_multiple_negative_idf_heavies(spark, neg_env):
+    """Regression (r4): forced OR pruning with TWO negative-IDF heavy
+    lists must equal full decode — the sound path either proves the
+    candidate-only answer exact or falls back to full decode."""
+    pruned = topk_bm25_chunked(
+        spark, neg_env["chunks"], neg_env["docs"], neg_env["stats"],
+        "rareone hone htwo", mode="or", k=10, round_digits=6, or_prune=True,
+    ).collect()
+    full = topk_bm25_chunked(
+        spark, neg_env["chunks"], neg_env["docs"], neg_env["stats"],
+        "rareone hone htwo", mode="or", k=10, round_digits=6, or_prune=False,
+    ).collect()
+    assert _key(pruned) == _key(full) and len(full) == 10
+
+
+def test_or_negative_idf_candidate_only_path_prunes_when_sound(spark, neg_env):
+    """When the k-th best candidate FINAL beats the non-candidate
+    bound, the candidate-only path must both engage (decoded << total)
+    and stay exact.  doc_len is flat here, so candidate finals sit
+    around light(+strong idf) + heavy(negative) — push k low enough
+    that theta_c stays above 0 (the non-candidate bound for all-neg
+    heavies) ... with these dfs the rare idf (~+7.9) dominates the two
+    ~-0.5 heavy contributions, so finals are positive and the check
+    passes."""
+    counters = {
+        "decoded": spark.sparkContext.accumulator(0),
+        "total": spark.sparkContext.accumulator(0),
+    }
+    pruned = topk_bm25_chunked(
+        spark, neg_env["chunks"], neg_env["docs"], neg_env["stats"],
+        "rareone hone htwo", mode="or", k=5, round_digits=6,
+        or_prune=True, counters=counters,
+    ).collect()
+    full = topk_bm25_chunked(
+        spark, neg_env["chunks"], neg_env["docs"], neg_env["stats"],
+        "rareone hone htwo", mode="or", k=5, round_digits=6, or_prune=False,
+    ).collect()
+    assert _key(pruned) == _key(full) and len(full) == 5
+    assert counters["total"].value > 0
+    assert counters["decoded"].value < counters["total"].value / 4
