@@ -89,6 +89,12 @@ BMW_CANDIDATE_LIMIT = 200_000
 # below its corpus size — recalibrate with bench_bmw.py on the target
 # cluster.  Full numbers in BENCH/SCALE.md.
 AUTO_OR_PRUNE_MIN_DOCS = 30_000_000
+# The conjunctive candidate path is cheaper than BMW (one rare-list
+# decode+collect, no scoring pass, no soundness-check job), so its
+# crossover comes earlier: measured deficit vs full decode was 1.86 s /
+# 1.66 s / 1.61 s at 100k / 300k / 1M docs and 0.0 s (parity) at 10M
+# (bench_bmw.py, same protocol) — hence 10M.
+AUTO_AND_PRUNE_MIN_DOCS = 10_000_000
 
 
 def tokenize_query(query: str) -> list[str]:
@@ -598,7 +604,7 @@ def topk_bm25(
     if or_prune == "auto":
         or_prune = n_docs >= AUTO_OR_PRUNE_MIN_DOCS
     if and_prune == "auto":
-        and_prune = n_docs >= AUTO_OR_PRUNE_MIN_DOCS
+        and_prune = n_docs >= AUTO_AND_PRUNE_MIN_DOCS
 
     min_doc, max_doc = 0, None
     n_keys = None
@@ -772,7 +778,7 @@ def topk_bm25_chunked(
     if or_prune == "auto":
         or_prune = n_docs >= AUTO_OR_PRUNE_MIN_DOCS
     if and_prune == "auto":
-        and_prune = n_docs >= AUTO_OR_PRUNE_MIN_DOCS
+        and_prune = n_docs >= AUTO_AND_PRUNE_MIN_DOCS
 
     # all pruning metadata below comes from the winners dict the
     # lookup already collected — NO further aggregate jobs / chunk

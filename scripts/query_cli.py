@@ -221,10 +221,13 @@ def _spark_runner(args):
             import json as _json
 
             from invertedindexbuilder_spark.operators.query_exec import (
+                AUTO_AND_PRUNE_MIN_DOCS,
                 AUTO_OR_PRUNE_MIN_DOCS,
             )
 
-            auto_on = int(stats["n_docs"]) >= AUTO_OR_PRUNE_MIN_DOCS
+            thr = (AUTO_AND_PRUNE_MIN_DOCS if mode == "and"
+                   else AUTO_OR_PRUNE_MIN_DOCS)
+            auto_on = int(stats["n_docs"]) >= thr
             total = int(counters["total"].value)
             decoded = int(counters["decoded"].value)
             print(
@@ -237,7 +240,7 @@ def _spark_runner(args):
                         "blocks_decoded": decoded,
                         "blocks_skipped": total - decoded,
                         "auto_prune_on": bool(auto_on or args.force_prune),
-                        "auto_threshold_docs": AUTO_OR_PRUNE_MIN_DOCS,
+                        "auto_threshold_docs": thr,
                         "n_docs": int(stats["n_docs"]),
                         "ms": round(dt, 1),
                     }
