@@ -95,3 +95,28 @@ def test_disjunctive_blockmax_prunes(li):
         assert [g[0] for g in got] == [w[0] for w in want]
     finally:
         lq.HEAVY_QUERY_DF = old
+
+
+def test_disjunctive_multi_negative_heavy_exact(li):
+    """r4 regression twin of test_bmw_or's negative-IDF case: several
+    heavy lists with df > N/2 (negative IDF).  The local loop is sound
+    here by construction — ride-along docs become candidates and the
+    fixed-point completion fetches ALL their heavy postings before
+    returning, and theta is re-evaluated every round — this test pins
+    that property against the full-decode brute force."""
+    import invertedindexbuilder_spark.operators.local_query as lq
+
+    old = lq.HEAVY_QUERY_DF
+    lq.HEAVY_QUERY_DF = 64
+    try:
+        for q in (
+            "rare0007 common alpha",
+            "rare0012 common alpha beta gamma",
+        ):
+            got = topk_local(li, q, mode="or", k=10)
+            want = brute_topk(li, q.split(), "or", 10)
+            assert [g[0] for g in got] == [w[0] for w in want], q
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert abs(gs - ws) <= 1e-9 * max(1.0, abs(ws)), (q, gd)
+    finally:
+        lq.HEAVY_QUERY_DF = old

@@ -110,3 +110,105 @@ def test_stored_probe_filters_reach_scan(corpus, stored):
     )
     plan = fm._jdf.queryExecution().executedPlan().toString()
     assert "EqualTo(term,data)" in plan
+
+
+# ------------------------------------------------------- incremental compact
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+
+
+def test_compact_search_tables_equals_full_rebuild(spark, tmp_path):
+    """compact_search_tables(base_tables, delta) must leave every
+    stored table row-identical to build_search_tables(base ∪ delta)
+    built fresh — and the served queries must agree."""
+    from invertedindexbuilder_spark.plans.build import (
+        SEARCH_TABLES,
+        compact_search_tables,
+    )
+    from invertedindexbuilder_spark.catalog import Catalog
+
+    base = _docs(
+        spark,
+        [
+            (0, "data join spark table"),
+            (1, "data le part le part"),
+            (2, "spark scan"),
+        ],
+    )
+    delta = _docs(
+        spark,
+        [
+            (10, "data zebra le part"),   # zebra: brand-new term
+            (11, "table scan scan"),
+        ],
+    )
+    inc_root = str(tmp_path / "inc")
+    full_root = str(tmp_path / "full")
+    build_search_tables(spark, base, inc_root, max_dist=1)
+    counts = compact_search_tables(spark, delta, inc_root)
+    assert counts["n_docs"] == 5
+    assert counts["new_terms"] >= 1  # zebra
+
+    build_search_tables(spark, base.unionByName(delta), full_root, max_dist=1)
+    inc, full = (
+        load_search_tables(spark, inc_root),
+        load_search_tables(spark, full_root),
+    )
+    assert inc["n_docs"] == full["n_docs"] == 5
+    for name in SEARCH_TABLES:
+        got = sorted(map(tuple, inc[name].collect()))
+        want = sorted(map(tuple, full[name].collect()))
+        assert got == want, name
+
+    # generation flip happened: term_dfs resolves to a .g dir
+    assert ".g" in Catalog(spark, inc_root).path("term_dfs")
+
+    # served queries agree across the two builds
+    corpus = base.unionByName(delta)
+    a = related_terms(None, "data", min_co_df=1, doc_terms=inc["doc_terms"],
+                      dfs=inc["term_dfs"], n_docs=inc["n_docs"]).collect()
+    b = related_terms(None, "data", min_co_df=1, doc_terms=full["doc_terms"],
+                      dfs=full["term_dfs"], n_docs=full["n_docs"]).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and a
+    sa = substring_search(corpus, "le part", trigrams=inc["char_trigrams"])
+    sb = substring_search(corpus, "le part", trigrams=full["char_trigrams"])
+    assert _rows(sa) == _rows(sb) and sa.count() > 0
+    fa = fuzzy_term_match(None if False else corpus.select(
+        F.explode(F.split("text", " ")).alias("term")), "zebro", 1,
+        variants=inc["fuzzy_variants"])
+    assert {r["term"] for r in fa.collect()} == {"zebra"}
+
+
+def test_compact_search_tables_second_delta(spark, tmp_path):
+    """Two successive compacts: generation numbers advance and the
+    tables still equal a fresh rebuild (the pointer-flip path is
+    exercised beyond g1)."""
+    from invertedindexbuilder_spark.plans.build import (
+        SEARCH_TABLES,
+        compact_search_tables,
+    )
+
+    root = str(tmp_path / "twice")
+    full_root = str(tmp_path / "full2")
+    d0 = _docs(spark, [(0, "alpha beta"), (1, "beta gamma")])
+    d1 = _docs(spark, [(5, "gamma delta")])
+    d2 = _docs(spark, [(9, "epsilon alpha")])
+    build_search_tables(spark, d0, root, max_dist=1)
+    compact_search_tables(spark, d1, root)
+    compact_search_tables(spark, d2, root)
+    build_search_tables(
+        spark, d0.unionByName(d1).unionByName(d2), full_root, max_dist=1
+    )
+    inc, full = (
+        load_search_tables(spark, root),
+        load_search_tables(spark, full_root),
+    )
+    assert inc["n_docs"] == full["n_docs"] == 4
+    for name in SEARCH_TABLES:
+        got = sorted(map(tuple, inc[name].collect()))
+        want = sorted(map(tuple, full[name].collect()))
+        assert got == want, name
