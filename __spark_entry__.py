@@ -1091,6 +1091,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.element_at("last_doc_ids", -1).cast("long").alias("last_doc"),
         )
 
+    def search_dfs_compacted(spark, sf_dir):
+        # incremental SEARCH-TABLE maintenance (r4): build the stored
+        # search indexes over the first half of the corpus, fold the
+        # rest in with compact_search_tables (per-doc appends + one
+        # atomic vocabulary-generation flip), and serve the global
+        # term dfs from the stored table; the oracle computes the same
+        # dfs over the WHOLE corpus in one shot — incremental ==
+        # one-shot is the invariant
+        import shutil as _sh
+        import tempfile as _tf
+
+        from invertedindexbuilder_spark.plans.build import (
+            build_search_tables,
+            compact_search_tables,
+            load_search_tables,
+        )
+
+        d = _documents(spark, sf_dir).select("doc_id", "text")
+        root = _tf.mkdtemp(prefix="gate_searchidx_")
+        try:
+            build_search_tables(
+                spark, d.filter(F.col("doc_id") < 250), root,
+                max_dist=1, collect_counts=False,
+            )
+            compact_search_tables(
+                spark, d.filter(F.col("doc_id") >= 250), root,
+                collect_counts=False,
+            )
+            out = (
+                load_search_tables(spark, root)["term_dfs"]
+                .select(F.col("t").alias("term"), "df")
+                .localCheckpoint()
+            )
+        finally:
+            _sh.rmtree(root, ignore_errors=True)
+        return out
+
     def index_federated(spark, sf_dir):
         # federated shard merge: two shards built INDEPENDENTLY with
         # their own dense ids; shard B's chunks rebase by +250 via the
@@ -1308,6 +1345,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": embed_near_dup,
         "fingerprint_winnow": fingerprint_winnow,
         "lineitem_rollup": lineitem_rollup,
+        # r4 addition, deliberately LAST: if the driver's time budget
+        # truncates the gate walk again it must cut this new entry, not
+        # any of the 59 the coverage contract already tracks
+        "search_dfs_compacted": search_dfs_compacted,
     }
 
 
@@ -1580,6 +1621,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, ((length(text) - "
             "length(replace(text, 'le part', ''))) / length('le part'))::BIGINT "
             "AS n_occurrences FROM documents WHERE contains(text, 'le part')"
+        ),
+        "search_dfs_compacted": (
+            "SELECT t AS term, count(*)::BIGINT AS df FROM ("
+            "SELECT DISTINCT doc_id, unnest(regexp_extract_all("
+            "lower(text), '[a-z0-9]+')) AS t FROM documents) GROUP BY t"
         ),
         "related_terms": (
             "WITH toks AS (SELECT DISTINCT doc_id, t FROM ("

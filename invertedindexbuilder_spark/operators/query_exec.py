@@ -606,6 +606,19 @@ def topk_bm25(
     if and_prune == "auto":
         and_prune = n_docs >= AUTO_AND_PRUNE_MIN_DOCS
 
+    # scan-pushed per-key frames for the pruning passes (same reason as
+    # the chunked path's rows_for: a filter on `matched` keeps every
+    # term's range in the pushed predicate, so e.g. the rare-list job
+    # would read the stopword row's payload just to discard it)
+    weights = _key_weights(terms, strict)
+
+    def rows_for(keys: list[str]) -> DataFrame:
+        m = _match_keys(index, {k: weights[k] for k in keys}, strict)
+        if strict:
+            winner = m.groupBy("key").agg(F.max("term").alias("term"))
+            m = m.join(F.broadcast(winner), ["key", "term"])
+        return m
+
     min_doc, max_doc = 0, None
     n_keys = None
     decoded = None
@@ -628,6 +641,7 @@ def topk_bm25(
             decoded = _try_candidate_and_decode(
                 spark, matched, rare["key"], int(rare["df"]),
                 cand_limit, counters,
+                rows_for=rows_for, all_keys=[m["key"] for m in meta],
             )
     elif mode == "or" and or_prune:
         meta = matched.select(
@@ -636,6 +650,7 @@ def topk_bm25(
         decoded = _try_bmw_or_decode(
             spark, matched, meta, docs, stats, n_docs, davr,
             k, heavy_df, cand_limit, counters,
+            rows_for=rows_for,
         )
 
     if decoded is None:

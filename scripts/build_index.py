@@ -126,6 +126,26 @@ def main() -> int:
             chunk_blocks=args.chunk_blocks,
             tokenizer=args.tokenizer,
         )
+        if args.search_tables:
+            # incremental search-table update (requires the base build
+            # to have run with --search-tables): the delta's doc ids
+            # were just assigned by compact, so join them back onto the
+            # delta source's text
+            from invertedindexbuilder_spark.catalog import Catalog
+            from invertedindexbuilder_spark.plans.build import (
+                compact_search_tables,
+            )
+
+            delta_text = (
+                Catalog(spark, args.out).read("docs")
+                .select("doc_id", "repo", "path", "commit")
+                .join(src, ["repo", "path", "commit"])
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("content"), F.lit("")).alias("text"),
+                )
+            )
+            compact_search_tables(spark, delta_text, args.out)
         wall = time.time() - t0
         ph = manifest["phases"]["compact"]
         print(
