@@ -16,6 +16,7 @@ Coverage map (SURVEY §2 rows -> queries):
   chunked serving (r2)      -> bm25_and_chunked, bm25_or_chunked
   incremental compaction    -> index_compacted
   federated merge (r3)      -> index_federated
+  incr. search tables (r4)  -> search_dfs_compacted
   boolean NOT / facets (r3) -> bm25_and_not, bm25_filtered
   S4 sampling               -> sample_mod10
   training-data extensions  -> dedup_exact, dedup_jaccard,
