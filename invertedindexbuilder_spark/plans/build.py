@@ -405,8 +405,14 @@ def build_search_tables(
     cat = Catalog(spark, out_root)
     counts: dict[str, int] = {}
 
+    # per-doc tables range-partition on (probe_key, doc_id): boundaries
+    # on the composite key spread a Zipf-heavy key (a stopword term, a
+    # hot trigram) across MANY partitions while per-file min/max stats
+    # on the probe key stay tight for pushdown pruning — probe-key-only
+    # ranges would serialize a stopword's whole posting set into one
+    # partition/file at corpus scale
     pp = positional_postings(docs, text_col=text_col, id_col=id_col)
-    pp = pp.repartitionByRange("term").sortWithinPartitions(
+    pp = pp.repartitionByRange("term", "doc_id").sortWithinPartitions(
         "term", "doc_id"
     )
     cat.write(pp, "positional_postings")
@@ -418,7 +424,7 @@ def build_search_tables(
     # positional postings (same tokenizer, already distinct per pair)
     dt = pp_stored.select(
         "doc_id", F.col("term").alias("t")
-    ).repartitionByRange("t").sortWithinPartitions("t", "doc_id")
+    ).repartitionByRange("t", "doc_id").sortWithinPartitions("t", "doc_id")
     cat.write(dt, "doc_terms")
     dt_stored = cat.read("doc_terms")
     if collect_counts:
@@ -430,7 +436,7 @@ def build_search_tables(
         counts["term_dfs"] = cat.read("term_dfs").count()
 
     tg = char_trigram_postings(docs, text_col=text_col, id_col=id_col)
-    tg = tg.repartitionByRange("trigram").sortWithinPartitions(
+    tg = tg.repartitionByRange("trigram", "doc_id").sortWithinPartitions(
         "trigram", "doc_id"
     )
     cat.write(tg, "char_trigrams")
@@ -439,7 +445,7 @@ def build_search_tables(
 
     vocab = dfs.select(F.col("t").alias("term"))
     fv = term_deletion_variants(vocab, max_dist=max_dist)
-    fv = fv.repartitionByRange("variant").sortWithinPartitions(
+    fv = fv.repartitionByRange("variant", "term").sortWithinPartitions(
         "variant", "term"
     )
     cat.write(fv, "fuzzy_variants")
@@ -499,19 +505,19 @@ def compact_search_tables(
 
     pp_d = positional_postings(
         delta_docs, text_col=text_col, id_col=id_col
-    ).repartitionByRange("term").sortWithinPartitions("term", "doc_id")
+    ).repartitionByRange("term", "doc_id").sortWithinPartitions("term", "doc_id")
     cat.write(pp_d, "positional_postings", mode="append")
 
     dt_d = pp_d.select("doc_id", F.col("term").alias("t"))
     cat.write(
-        dt_d.repartitionByRange("t").sortWithinPartitions("t", "doc_id"),
+        dt_d.repartitionByRange("t", "doc_id").sortWithinPartitions("t", "doc_id"),
         "doc_terms",
         mode="append",
     )
 
     tg_d = char_trigram_postings(
         delta_docs, text_col=text_col, id_col=id_col
-    ).repartitionByRange("trigram").sortWithinPartitions("trigram", "doc_id")
+    ).repartitionByRange("trigram", "doc_id").sortWithinPartitions("trigram", "doc_id")
     cat.write(tg_d, "char_trigrams", mode="append")
 
     dfs_d = term_dfs(dt_d)
@@ -522,7 +528,7 @@ def compact_search_tables(
     if counts["new_terms"]:
         fv_d = term_deletion_variants(
             new_terms.select(F.col("t").alias("term")), max_dist=max_dist
-        ).repartitionByRange("variant").sortWithinPartitions("variant", "term")
+        ).repartitionByRange("variant", "term").sortWithinPartitions("variant", "term")
         cat.write(fv_d, "fuzzy_variants", mode="append")
 
     referenced = [
