@@ -1,0 +1,131 @@
+"""Index introspection: one JSON report over a build's stored tables.
+
+    python scripts/index_stats.py --index /tmp/idx [--top 10] [--cores 8]
+
+Reports corpus stats, per-table file footprints (through the catalog's
+generation pointers), posting-list distribution (df percentiles, block
+counts, payload bytes), the heaviest terms, and which optional
+artifacts (merged index, chunked index, search tables) are present —
+the operational "what is this index" view an operator wants before
+serving or compacting it.  Everything is computed with aggregates over
+the stored tables; nothing corpus-sized reaches the driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--top", type=int, default=10, help="heaviest terms listed")
+    ap.add_argument("--cores", type=int, default=8)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from invertedindexbuilder_spark.catalog import Catalog
+    from invertedindexbuilder_spark.plans.build import SEARCH_TABLES, load_stats
+    from invertedindexbuilder_spark.session import get_spark
+
+    spark = get_spark(app_name="index-stats", cores=args.cores,
+                      shuffle_partitions=max(args.cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    cat = Catalog(spark, args.index)
+
+    report: dict = {"root": args.index, "stats": load_stats(spark, args.index)}
+
+    manifest_path = os.path.join(args.index, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        report["phases"] = {
+            k: {kk: vv for kk, vv in v.items() if kk != "fingerprint"}
+            for k, v in m.get("phases", {}).items()
+        }
+        if "compact_journal" in m:
+            report["compact_journal"] = m["compact_journal"]
+
+    tables = ["docs", "index", "index_chunks", "search_stats",
+              *SEARCH_TABLES]
+    footprints = {}
+    for t in tables:
+        p = cat.path(t)
+        if os.path.exists(p):
+            footprints[t] = {
+                "bytes": _dir_bytes(p),
+                "generation": os.path.basename(p),
+            }
+    report["tables"] = footprints
+
+    # posting-list distribution from whichever index artifact exists —
+    # chunk rows aggregate to full terms first so both layouts report
+    # the same per-term numbers
+    src = None
+    if "index" in footprints:
+        src = cat.read("index").select(
+            "term", "df",
+            F.size("last_doc_ids").alias("n_blocks"),
+            F.length("payload").cast("long").alias("payload_bytes"),
+        )
+    elif "index_chunks" in footprints:
+        src = (
+            cat.read("index_chunks")
+            .groupBy("term")
+            .agg(
+                F.sum("df").cast("long").alias("df"),
+                F.sum(F.size("last_doc_ids")).alias("n_blocks"),
+                F.sum(F.length("payload")).cast("long").alias("payload_bytes"),
+                F.count("*").alias("n_chunks"),
+            )
+        )
+    if src is not None:
+        agg = src.agg(
+            F.count("*").alias("terms"),
+            F.sum("df").alias("postings"),
+            F.sum("payload_bytes").alias("payload_bytes"),
+            F.sum("n_blocks").alias("blocks"),
+            F.expr("percentile_approx(df, array(0.5, 0.9, 0.99), 10000)")
+            .alias("df_p"),
+            F.max("df").alias("df_max"),
+        ).collect()[0]
+        report["postings"] = {
+            "terms": int(agg["terms"]),
+            "postings": int(agg["postings"]),
+            "payload_bytes": int(agg["payload_bytes"]),
+            "blocks": int(agg["blocks"]),
+            "df_p50": int(agg["df_p"][0]),
+            "df_p90": int(agg["df_p"][1]),
+            "df_p99": int(agg["df_p"][2]),
+            "df_max": int(agg["df_max"]),
+        }
+        report["heaviest_terms"] = [
+            {"term": r["term"], "df": int(r["df"]),
+             "payload_bytes": int(r["payload_bytes"])}
+            for r in src.orderBy(F.desc("df"), "term").limit(args.top).collect()
+        ]
+
+    print(json.dumps(report, indent=2, sort_keys=True))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
