@@ -43,6 +43,8 @@ Coverage map (SURVEY §2 rows -> queries):
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -483,6 +485,42 @@ def _bm25_chunked_query(
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: conjunctive BM25 top-10 over the sf0.001 corpus."""
     return _bm25_query(spark, DEFAULT_SF, [("data", 1), ("join", 1)], "and", 10)
+
+
+def _gate_round() -> int:
+    """Current driver round, derived from the CORRECTNESS_r{N}.json
+    files already committed next to this file (max N + 1).  Lets the
+    gate rotation below advance every round without a manual bump."""
+    import glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def _rotate_gates(d: dict) -> dict:
+    """Deterministic per-round rotation of the gate dict (VERDICT r4 #1).
+
+    The driver's CORRECTNESS sweep walks ``queries()`` in dict order
+    under a budget that empirically caps at the first 50 entries
+    (CORRECTNESS_r03/r04 both hold exactly the first 50 rows).  With 60
+    gates, a fixed order leaves the same 10-gate tail permanently
+    unattested.  Rotating the canonical order by ``(10 * round) mod
+    len`` slides a fresh 10-gate window to the head each round, so
+    every gate lands inside the driver's 50-row window at least every
+    other round.  Round 5 (offset 50) puts the 10 gates missing from
+    CORRECTNESS_r04 — the ANN/similarity family, simhash,
+    fingerprint_winnow, lineitem_rollup, search_dfs_compacted — at
+    positions 1-10.
+    """
+    names = list(d)
+    off = (10 * _gate_round()) % len(names)
+    return {k: d[k] for k in names[off:] + names[:off]}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -982,8 +1020,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _embeddings(spark, sf_dir)
         # at-scale posture (kmeans_fit docstring): train on a bounded
         # sample, assign the full corpus once.  probe_all keeps the
-        # gate exact regardless of the trained centroids.
-        cents = kmeans_fit(emb.filter(F.col("vec_id") < 256), k=8, iters=2)
+        # gate exact regardless of the trained centroids, so the fit
+        # runs at GATE scale (k=4, one Lloyd iteration, 128-vector
+        # sample — VERDICT r4 #2: this gate cost 45.6 s at k=8/iters=2
+        # because each extra centroid doubles the assignment
+        # expression Catalyst must codegen); the recall-vs-probes
+        # story at real parameters lives in tests/test_kmeans_ivf.py.
+        cents = kmeans_fit(emb.filter(F.col("vec_id") < 128), k=4, iters=1)
         return ivf_kmeans_topk(
             emb, query_vec_id=0, k=10, centroids=cents, probe_all=True,
         )
@@ -1109,16 +1152,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_search_tables,
         )
 
-        d = _documents(spark, sf_dir).select("doc_id", "text")
+        # gate-scale slice (VERDICT r4 #2: this gate cost 42.7 s over
+        # the full 500 docs): 150 base + 150 delta docs still exercise
+        # the whole build -> compact -> atomic-flip -> serve path; the
+        # oracle below applies the identical doc_id < 300 restriction
+        d = (
+            _documents(spark, sf_dir)
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 300)
+        )
         root = _tf.mkdtemp(prefix="gate_searchidx_")
         try:
+            # partition=False: skips the ~10 range-boundary sampling
+            # jobs whose fixed overhead dominates at 300 docs; the
+            # at-scale layout (range-partitioned, sorted, pushdown-
+            # prunable) is pinned by tests/test_search_tables.py
             build_search_tables(
-                spark, d.filter(F.col("doc_id") < 250), root,
-                max_dist=1, collect_counts=False,
+                spark, d.filter(F.col("doc_id") < 150), root,
+                max_dist=1, collect_counts=False, partition=False,
             )
             compact_search_tables(
-                spark, d.filter(F.col("doc_id") >= 250), root,
-                collect_counts=False,
+                spark, d.filter(F.col("doc_id") >= 150), root,
+                collect_counts=False, partition=False,
             )
             out = (
                 load_search_tables(spark, root)["term_dfs"]
@@ -1282,11 +1337,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.length("frame_bytes").cast("long").alias("n_bytes"),
         )
 
-    return {
-        # r3 gate-coverage hole: the driver's run is time-budgeted and
-        # walks this dict in order — the nine entries that got no
-        # CORRECTNESS_r03 row (they were last) now run FIRST, cheapest
-        # leading, so a budget cut can never blank them again.
+    # CANONICAL gate order (r4 layout); _rotate_gates slides the
+    # driver's 50-row coverage window over it deterministically per
+    # round — see its docstring for the coverage contract.
+    canonical = {
         "media_features": media_features,
         "media_frames": media_frames,
         "events_hourly": events_hourly,
@@ -1346,11 +1400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": embed_near_dup,
         "fingerprint_winnow": fingerprint_winnow,
         "lineitem_rollup": lineitem_rollup,
-        # r4 addition, deliberately LAST: if the driver's time budget
-        # truncates the gate walk again it must cut this new entry, not
-        # any of the 59 the coverage contract already tracks
         "search_dfs_compacted": search_dfs_compacted,
     }
+    return _rotate_gates(canonical)
 
 
 def _cell_sql(vec: str, planes: int) -> str:
@@ -1626,7 +1678,8 @@ def oracle_sql() -> dict[str, str]:
         "search_dfs_compacted": (
             "SELECT t AS term, count(*)::BIGINT AS df FROM ("
             "SELECT DISTINCT doc_id, unnest(regexp_extract_all("
-            "lower(text), '[a-z0-9]+')) AS t FROM documents) GROUP BY t"
+            "lower(text), '[a-z0-9]+')) AS t FROM documents "
+            "WHERE doc_id < 300) GROUP BY t"
         ),
         "related_terms": (
             "WITH toks AS (SELECT DISTINCT doc_id, t FROM ("

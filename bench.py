@@ -30,6 +30,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cpu_canary(reps: int = 3) -> float:
+    """Fixed pure-CPU workload (sha256 over a constant 512 MB stream),
+    single-threaded, min-of-``reps`` seconds.  VM-speed self-
+    calibration (VERDICT r4 #5): the unpinned local[32] box this bench
+    runs on swings ±40 % run-to-run, which is wider than any
+    code-driven delta the suite is meant to detect — recording the
+    canary at suite start AND end lets a cross-round comparison divide
+    out host speed (compare query_sec / canary_sec) instead of
+    re-running the whole suite to adjudicate a regression."""
+    import hashlib
+
+    buf = b"\x5a" * (1 << 20)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(512):
+            h.update(buf)
+        h.digest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -49,6 +72,8 @@ def main() -> int:
     from invertedindexbuilder_spark.plans.build import build, load_stats
     from invertedindexbuilder_spark.session import get_spark
     from invertedindexbuilder_spark.sources.docs_src import synthetic_docs_src
+
+    canary_start = _cpu_canary()
 
     spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -310,6 +335,8 @@ def main() -> int:
 
         total = time.time() - t_all
         build_s = timings["build_index"]
+        canary_end = _cpu_canary()
+        canary = min(canary_start, canary_end)
         print(
             json.dumps(
                 {
@@ -317,6 +344,16 @@ def main() -> int:
                     "value": round(total, 3),
                     "unit": "sec",
                     "queries": {k: round(v, 3) for k, v in timings.items()},
+                    # host-speed self-calibration: fixed sha256 loop at
+                    # suite start/end; queries_canary_norm = sec per
+                    # canary-sec (unitless) — compare THIS across
+                    # rounds, raw seconds only within one run
+                    "canary_sec": canary,
+                    "canary_sec_start": canary_start,
+                    "canary_sec_end": canary_end,
+                    "queries_canary_norm": {
+                        k: round(v / canary, 2) for k, v in timings.items()
+                    },
                     "sf": sf,
                     "docs": n_docs_sf,
                     "build_docs": bench_docs,

@@ -182,7 +182,7 @@ def unigram_cross_entropy(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_counts: bool | None = None,
-    broadcast_vocab_limit: int = 30_000_000,
+    broadcast_bytes_limit: int = 512 << 20,
 ) -> DataFrame:
     """Per-doc unigram cross-entropy against the corpus's own unigram
     distribution — the cheap perplexity-proxy quality signal (CCNet
@@ -202,27 +202,39 @@ def unigram_cross_entropy(
     column, so a shuffle join would hot-spot the stopword partitions
     (VERDICT r3 #3).  Natural-language vocabularies are tiny relative
     to occurrences (~10^7 terms even at 100 TB), so the counts side is
-    BROADCAST whenever the vocabulary fits (``broadcast_counts=None``
-    auto: vocab rows <= ``broadcast_vocab_limit``, counted for free
-    from the aggregate we already run) — every occurrence row then
-    joins map-side and the skewed key never shuffles.  Forcing
-    ``False`` (vocab too big to broadcast) falls back to the shuffle
-    join and relies on AQE skew-join splitting, which the session
-    enables (session.py) — plan shape pinned in
-    tests/test_curation.py."""
+    BROADCAST whenever it fits (``broadcast_counts=None`` auto: the
+    decision is BYTE-sized, not row-counted — ADVICE r4: a 30M-row
+    (token, count) table is GBs after broadcast serialization and
+    would OOM the driver / trip Spark's 8 GB broadcast cap long
+    before any row limit; estimated bytes = vocab rows x (avg token
+    length + per-row overhead), all three scalars from the ONE
+    aggregate we already run, vs ``broadcast_bytes_limit`` default
+    512 MB) — every occurrence row then joins map-side and the skewed
+    key never shuffles.  Forcing ``False`` (vocab too big to
+    broadcast) falls back to the shuffle join and relies on AQE
+    skew-join splitting, which the session enables (session.py) —
+    plan shape pinned in tests/test_curation.py."""
     occ = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_expr(text_col)).alias("t"),
     )
     counts = occ.groupBy("t").agg(F.count("*").cast("long").alias("_cf"))
-    # ONE aggregate job yields both the occurrence total (sum of
-    # counts == occ.count()) and the vocab size the auto decision needs
+    # ONE aggregate job yields the occurrence total (sum of counts ==
+    # occ.count()) plus the vocab size and mean key length the auto
+    # broadcast decision needs
     agg = counts.agg(
-        F.count("*").alias("_v"), F.sum("_cf").alias("_tot")
+        F.count("*").alias("_v"),
+        F.sum("_cf").alias("_tot"),
+        F.avg(F.length("t")).alias("_len"),
     ).collect()[0]
     total = int(agg["_tot"] or 0)
     if broadcast_counts is None:
-        broadcast_counts = int(agg["_v"]) <= broadcast_vocab_limit
+        # ~32 B/row of JVM object + hashmap-entry overhead on top of
+        # the key bytes and the 8 B count — a deliberately conservative
+        # estimate (underestimating would OOM, overestimating merely
+        # shuffles)
+        est_bytes = int(agg["_v"]) * (float(agg["_len"] or 0.0) + 40.0)
+        broadcast_counts = est_bytes <= broadcast_bytes_limit
     if broadcast_counts:
         counts = F.broadcast(counts)
     return (

@@ -418,6 +418,7 @@ def _try_bmw_or_decode(
     cand_limit: int,
     counters: dict | None,
     rows_for=None,
+    round_digits: int | None = None,
 ) -> DataFrame | None:
     """Disjunctive pruning orchestration shared by the merged and
     chunked serving paths.  ``meta`` = one Row per key with (key, df,
@@ -501,11 +502,16 @@ def _try_bmw_or_decode(
         # is exact; otherwise fall back to full decode (correct, and
         # genuinely required — the top-k then hinges on tiny
         # differences among near-identical negative sums).
+        # localCheckpoint (eager): the candidate-bounded frame is
+        # consumed twice — the hrows bound-check collect AND the
+        # returned union — and an uncached mapInPandas would decode
+        # the heavy candidate blocks twice and double-count the
+        # decoded/total pruning accumulators (ADVICE r4)
         heavy_cand = decode_matched_rows_bmw(
             heavy_rows, cand_sorted, float("inf"),
             {m["key"]: 0.0 for m in heavy},
             n_docs, min_doc_len, davr, counters=counters, cand_only=True,
-        )
+        ).localCheckpoint()
         hrows = (
             docs.select("doc_id", "doc_len")
             .join(F.broadcast(heavy_cand), "doc_id")
@@ -521,7 +527,14 @@ def _try_bmw_or_decode(
         )
         theta_c = finals[k - 1]
         ub_noncand = sum(full_ubs.values())
-        if theta_c <= ub_noncand:
+        # rounding-aware margin (ADVICE r4): the final ranking rounds
+        # scores to round_digits, so a non-candidate doc whose RAW
+        # score sits within half a rounding quantum of theta_c could
+        # ROUND into a tie with the k-th candidate and win the
+        # smaller-doc_id tiebreak; require strict clearance beyond the
+        # quantum before accepting the candidate-only answer
+        margin = 0.0 if round_digits is None else 0.5 * 10.0 ** (-round_digits)
+        if theta_c <= ub_noncand + margin:
             return None
         return decode_matched_rows(light_rows).unionByName(heavy_cand)
 
@@ -650,7 +663,7 @@ def topk_bm25(
         decoded = _try_bmw_or_decode(
             spark, matched, meta, docs, stats, n_docs, davr,
             k, heavy_df, cand_limit, counters,
-            rows_for=rows_for,
+            rows_for=rows_for, round_digits=round_digits,
         )
 
     if decoded is None:
@@ -857,7 +870,7 @@ def topk_bm25_chunked(
         decoded = _try_bmw_or_decode(
             spark, matched, meta, docs, stats, n_docs, davr,
             k, heavy_df, cand_limit, counters,
-            rows_for=rows_for,
+            rows_for=rows_for, round_digits=round_digits,
         )
 
     if decoded is None:

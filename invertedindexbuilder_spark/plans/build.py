@@ -373,6 +373,17 @@ SEARCH_TABLES = {
 }
 
 
+def _range_sorted(df: DataFrame, *keys: str, partition: bool = True) -> DataFrame:
+    """Range-partition + sort on the probe key(s) — the stored-table
+    layout contract (file min/max stats stay tight for pushdown
+    pruning).  ``partition=False`` skips the shuffle AND its
+    range-boundary sampling job: correctness-neutral, for gate/test
+    scale corpora where ~10 sampling jobs dominate wall time."""
+    if not partition:
+        return df.sortWithinPartitions(*keys)
+    return df.repartitionByRange(*keys).sortWithinPartitions(*keys)
+
+
 def build_search_tables(
     spark: SparkSession,
     docs: DataFrame,
@@ -381,6 +392,7 @@ def build_search_tables(
     text_col: str = "text",
     id_col: str = "doc_id",
     collect_counts: bool = True,
+    partition: bool = True,
 ) -> dict:
     """Materialize the search-extension indexes (VERDICT r3 #8) into
     the same catalog as the main build: positional postings (phrase),
@@ -412,50 +424,54 @@ def build_search_tables(
     # ranges would serialize a stopword's whole posting set into one
     # partition/file at corpus scale
     pp = positional_postings(docs, text_col=text_col, id_col=id_col)
-    pp = pp.repartitionByRange("term", "doc_id").sortWithinPartitions(
-        "term", "doc_id"
+    cat.write(
+        _range_sorted(pp, "term", "doc_id", partition=partition),
+        "positional_postings",
     )
-    cat.write(pp, "positional_postings")
     pp_stored = cat.read("positional_postings")
     if collect_counts:
         counts["positional_postings"] = pp_stored.count()
 
     # doc_terms := distinct (doc_id, t) — a projection of the stored
     # positional postings (same tokenizer, already distinct per pair)
-    dt = pp_stored.select(
-        "doc_id", F.col("term").alias("t")
-    ).repartitionByRange("t", "doc_id").sortWithinPartitions("t", "doc_id")
-    cat.write(dt, "doc_terms")
+    dt = pp_stored.select("doc_id", F.col("term").alias("t"))
+    cat.write(_range_sorted(dt, "t", "doc_id", partition=partition), "doc_terms")
     dt_stored = cat.read("doc_terms")
     if collect_counts:
         counts["doc_terms"] = dt_stored.count()
 
-    dfs = term_dfs(dt_stored).repartitionByRange("t").sortWithinPartitions("t")
-    cat.write(dfs, "term_dfs")
+    dfs = term_dfs(dt_stored)
+    cat.write(_range_sorted(dfs, "t", partition=partition), "term_dfs")
     if collect_counts:
         counts["term_dfs"] = cat.read("term_dfs").count()
 
     tg = char_trigram_postings(docs, text_col=text_col, id_col=id_col)
-    tg = tg.repartitionByRange("trigram", "doc_id").sortWithinPartitions(
-        "trigram", "doc_id"
+    cat.write(
+        _range_sorted(tg, "trigram", "doc_id", partition=partition),
+        "char_trigrams",
     )
-    cat.write(tg, "char_trigrams")
     if collect_counts:
         counts["char_trigrams"] = cat.read("char_trigrams").count()
 
     vocab = dfs.select(F.col("t").alias("term"))
     fv = term_deletion_variants(vocab, max_dist=max_dist)
-    fv = fv.repartitionByRange("variant", "term").sortWithinPartitions(
-        "variant", "term"
+    cat.write(
+        _range_sorted(fv, "variant", "term", partition=partition),
+        "fuzzy_variants",
     )
-    cat.write(fv, "fuzzy_variants")
     if collect_counts:
         counts["fuzzy_variants"] = cat.read("fuzzy_variants").count()
 
-    counts["n_docs"] = docs.select(id_col).distinct().count()
+    # n_docs + max_doc_id in ONE aggregate job; max_doc_id is the
+    # compact-side replay guard's O(1) watermark (VERDICT r4 #4)
+    dstat = docs.agg(
+        F.count_distinct(id_col).alias("n"), F.max(id_col).alias("mx")
+    ).collect()[0]
+    counts["n_docs"] = int(dstat["n"])
     cat.write(
         spark.createDataFrame(
-            [(counts["n_docs"], max_dist)], "n_docs long, max_dist int"
+            [(counts["n_docs"], max_dist, int(dstat["mx"]))],
+            "n_docs long, max_dist int, max_doc_id long",
         ),
         "search_stats",
     )
@@ -469,12 +485,16 @@ def compact_search_tables(
     text_col: str = "text",
     id_col: str = "doc_id",
     collect_counts: bool = True,
+    partition: bool = True,
+    validate: bool = True,
 ) -> dict:
     """Fold a DELTA corpus into existing search tables at O(delta) cost
     (the search-table twin of :func:`compact`): per-doc tables
     (positional postings, doc-term pairs, char trigrams) APPEND the
     delta's rows — they are strictly additive under disjoint doc_ids,
-    the same contract compact() enforces for the main index; the
+    the same contract compact() enforces for the main index (and this
+    function now enforces too, via the stored max_doc_id watermark:
+    a replayed/overlapping delta raises before any write); the
     vocabulary tables rewrite from (stored + delta) aggregates, never
     from the base corpus: term_dfs = stored dfs merged with the delta's
     dfs (O(vocab + delta)), fuzzy deletion variants append only for
@@ -486,7 +506,11 @@ def compact_search_tables(
     Crash posture: the appends preceding the flip are not atomic with
     it, but every search table is a DERIVED artifact — a failed compact
     is repaired by re-running :func:`build_search_tables` over the full
-    corpus (round-trip pinned in tests/test_search_tables.py).
+    corpus (round-trip pinned in tests/test_search_tables.py).  A crash
+    AFTER the generation-dir writes but before the pointer flip leaves
+    a stale unreferenced g{N} dir; the next compact recomputes the same
+    generation number and overwrites it (mode=overwrite below), so the
+    catalog self-heals instead of failing on 'path already exists'.
     """
     import re as _re
 
@@ -498,27 +522,53 @@ def compact_search_tables(
     )
 
     cat = Catalog(spark, out_root)
-    st = cat.read("search_stats").collect()[0]
+    st = cat.read("search_stats").collect()[0].asDict()
     n_docs_old, max_dist = int(st["n_docs"]), int(st["max_dist"])
     stored_dfs = cat.read("term_dfs")
     counts: dict[str, int] = {}
 
-    pp_d = positional_postings(
-        delta_docs, text_col=text_col, id_col=id_col
-    ).repartitionByRange("term", "doc_id").sortWithinPartitions("term", "doc_id")
+    # replay guard (VERDICT r4 #4): the per-doc appends below are
+    # additive ONLY under disjoint doc_ids — a replayed or overlapping
+    # delta would silently double-append per-doc rows and double-count
+    # term_dfs.  Mirror compact()'s validation: every delta doc_id
+    # must sit strictly above the stored watermark.  Old catalogs
+    # (pre-r5 search_stats without max_doc_id) fall back to ONE
+    # min/max-stat scan of the stored doc_terms.
+    dmin_row = delta_docs.agg(
+        F.min(id_col).alias("mn"), F.max(id_col).alias("mx")
+    ).collect()[0]
+    if dmin_row["mn"] is None:
+        raise ValueError("compact_search_tables: empty delta")
+    delta_min, delta_max = int(dmin_row["mn"]), int(dmin_row["mx"])
+    stored_max = st.get("max_doc_id")
+    if stored_max is None:
+        stored_max = cat.read("doc_terms").agg(F.max("doc_id")).collect()[0][0]
+    stored_max = int(stored_max)
+    if validate and delta_min <= stored_max:
+        raise ValueError(
+            f"compact_search_tables: delta doc_ids [{delta_min}, "
+            f"{delta_max}] overlap the stored corpus (max doc_id "
+            f"{stored_max}) — replayed or overlapping delta; per-doc "
+            "appends are only sound for strictly-newer doc_ids"
+        )
+
+    pp_d = positional_postings(delta_docs, text_col=text_col, id_col=id_col)
+    pp_d = _range_sorted(pp_d, "term", "doc_id", partition=partition)
     cat.write(pp_d, "positional_postings", mode="append")
 
     dt_d = pp_d.select("doc_id", F.col("term").alias("t"))
     cat.write(
-        dt_d.repartitionByRange("t", "doc_id").sortWithinPartitions("t", "doc_id"),
+        _range_sorted(dt_d, "t", "doc_id", partition=partition),
         "doc_terms",
         mode="append",
     )
 
-    tg_d = char_trigram_postings(
-        delta_docs, text_col=text_col, id_col=id_col
-    ).repartitionByRange("trigram", "doc_id").sortWithinPartitions("trigram", "doc_id")
-    cat.write(tg_d, "char_trigrams", mode="append")
+    tg_d = char_trigram_postings(delta_docs, text_col=text_col, id_col=id_col)
+    cat.write(
+        _range_sorted(tg_d, "trigram", "doc_id", partition=partition),
+        "char_trigrams",
+        mode="append",
+    )
 
     dfs_d = term_dfs(dt_d)
     if collect_counts:
@@ -528,8 +578,12 @@ def compact_search_tables(
     if counts["new_terms"]:
         fv_d = term_deletion_variants(
             new_terms.select(F.col("t").alias("term")), max_dist=max_dist
-        ).repartitionByRange("variant", "term").sortWithinPartitions("variant", "term")
-        cat.write(fv_d, "fuzzy_variants", mode="append")
+        )
+        cat.write(
+            _range_sorted(fv_d, "variant", "term", partition=partition),
+            "fuzzy_variants",
+            mode="append",
+        )
 
     referenced = [
         int(mm.group(1))
@@ -537,21 +591,27 @@ def compact_search_tables(
         if (mm := _re.search(r"\.g(\d+)$", v))
     ]
     gen = max([*referenced, 0]) + 1
-    dfs_new = (
+    dfs_new = _range_sorted(
         stored_dfs.unionByName(dfs_d)
         .groupBy("t")
-        .agg(F.sum("df").cast("long").alias("df"))
-        .repartitionByRange("t")
-        .sortWithinPartitions("t")
+        .agg(F.sum("df").cast("long").alias("df")),
+        "t",
+        partition=partition,
     )
     phys_dfs = f"term_dfs.g{gen}"
-    dfs_new.write.parquet(os.path.join(out_root, phys_dfs))
+    # mode=overwrite: a crash between these writes and cat.publish
+    # leaves a stale UNreferenced g{gen} dir (pointer still at
+    # g{gen-1}); the next compact recomputes the same gen and must
+    # reclaim it instead of dying on 'path already exists' — same
+    # posture as compact()'s cat.write generation dirs
+    dfs_new.write.mode("overwrite").parquet(os.path.join(out_root, phys_dfs))
     counts["n_docs_delta"] = delta_docs.select(id_col).distinct().count()
     counts["n_docs"] = n_docs_old + counts["n_docs_delta"]
     phys_stats = f"search_stats.g{gen}"
     spark.createDataFrame(
-        [(counts["n_docs"], max_dist)], "n_docs long, max_dist int"
-    ).write.parquet(os.path.join(out_root, phys_stats))
+        [(counts["n_docs"], max_dist, max(stored_max, delta_max))],
+        "n_docs long, max_dist int, max_doc_id long",
+    ).write.mode("overwrite").parquet(os.path.join(out_root, phys_stats))
     orphans = cat.publish(
         {"term_dfs": phys_dfs, "search_stats": phys_stats}
     )
@@ -568,9 +628,13 @@ def load_search_tables(spark: SparkSession, out_root: str) -> dict:
     :func:`build_search_tables`."""
     cat = Catalog(spark, out_root)
     out = {name: cat.read(name) for name in SEARCH_TABLES}
-    st = cat.read("search_stats").collect()[0]
+    st = cat.read("search_stats").collect()[0].asDict()
     out["n_docs"] = int(st["n_docs"])
     out["max_dist"] = int(st["max_dist"])
+    # compact watermark (absent in pre-r5 catalogs)
+    out["max_doc_id"] = (
+        int(st["max_doc_id"]) if st.get("max_doc_id") is not None else None
+    )
     return out
 
 

@@ -100,6 +100,10 @@ def main() -> int:
     ap.add_argument("--tokenizer", choices=["pandas", "jvm"], default="jvm")
     ap.add_argument("--no-md", action="store_true",
                     help="print JSON only, don't rewrite BENCH/BASELINE.md")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="back-to-back pinned pairs (VERDICT r4 #6: one "
+                         "pair is inside this VM's ±15%% noise band; "
+                         "median-of-5 is the reportable number)")
     ap.add_argument("--n", type=int, default=4,
                     help="small parallelism (large = 4x this). Default "
                          "4 vs 16: this VM's aggregate clock throttles "
@@ -115,21 +119,52 @@ def main() -> int:
         gen_corpus(args.docs, corpus)
     zpath = make_zip()
 
-    r8 = run_build(args.n, corpus, zpath, args.tokenizer)
-    r32 = run_build(args.n * 4, corpus, zpath, args.tokenizer)
-    eff = r32["docs_per_sec"] / (4.0 * r8["docs_per_sec"])
+    # host-speed canary per pair (same fixed sha256 loop as bench.py):
+    # lets a cross-round reader separate VM drift from code drift
+    sys.path.insert(0, REPO)
+    from bench import _cpu_canary
+
+    pairs = []
+    for rep in range(max(1, args.reps)):
+        canary = _cpu_canary()
+        r8 = run_build(args.n, corpus, zpath, args.tokenizer)
+        r32 = run_build(args.n * 4, corpus, zpath, args.tokenizer)
+        e = r32["docs_per_sec"] / (4.0 * r8["docs_per_sec"])
+        pairs.append({"rep": rep, "canary_sec": canary, "small": r8,
+                      "large": r32, "eff": round(e, 3)})
+        print(json.dumps({"rep": rep, "eff": pairs[-1]["eff"],
+                          "canary_sec": canary,
+                          "small_dps": r8["docs_per_sec"],
+                          "large_dps": r32["docs_per_sec"]}),
+              file=sys.stderr)
+    effs = sorted(p["eff"] for p in pairs)
+    med = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+    )
+    # headline pair = the median-efficiency one (representative, not
+    # cherry-picked best)
+    headline = min(pairs, key=lambda p: abs(p["eff"] - med))
+    r8, r32, eff = headline["small"], headline["large"], headline["eff"]
     result = {
         "docs": args.docs,
         "tokenizer": args.tokenizer,
         "local8": r8,
         "local32": r32,
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": med,
+        "scaling_efficiency_pairs": [p["eff"] for p in pairs],
+        "canary_secs": [p["canary_sec"] for p in pairs],
     }
     print(json.dumps(result))
     if args.no_md:
         return 0
 
     n, n4 = args.n, args.n * 4
+    pairs_md = "\n".join(
+        f"| {p['rep'] + 1} | {p['canary_sec']} | "
+        f"{p['small']['docs_per_sec']} | {p['large']['docs_per_sec']} | "
+        f"{p['eff']:.3f} |"
+        for p in pairs
+    )
     md = f"""# BENCH/BASELINE — measured numbers (this engine)
 
 ## Scaling efficiency (north-rule criterion, N vs 4N parallelism)
@@ -146,7 +181,17 @@ two parallelism levels on the same parquet corpus
 | local[{n4}] | {r32['wall_s']} | {r32['docs_per_sec']} | {r32['wall_total_s']} |
 
 **Scaling efficiency = throughput(local[{n4}]) / (4 x throughput(local[{n}]))
-= {eff:.3f}** (target >= 0.8).
+= {eff:.3f}** (target >= 0.8; headline row = the median pair below).
+
+All {len(pairs)} back-to-back pinned pair(s) (VERDICT r4 #6 — one pair sits
+inside this VM's noise band; the canary is bench.py's fixed single-thread
+sha256 loop, smaller = faster host at that moment):
+
+| pair | canary (s) | local[{n}] docs/s | local[{n4}] docs/s | efficiency |
+|---|---|---|---|---|
+{pairs_md}
+
+**Median efficiency = {med:.3f}**, spread {effs[0]:.3f}-{effs[-1]:.3f}.
 
 Measurement notes:
 - Each run is PINNED to exactly its core count with `taskset -c 0-N-1`

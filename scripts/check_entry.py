@@ -57,6 +57,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    t_sweep = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -97,6 +98,8 @@ def main() -> int:
             print(f"PASS  {name}: {len(g)} rows ({time.time()-t0:.1f}s)")
 
     print()
+    print(f"sweep wall time: {time.time() - t_sweep:.1f}s "
+          f"({len([n for n in qs if not only or n in only])} gates)")
     if failures:
         print("FAILURES:", failures)
         return 1

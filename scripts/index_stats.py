@@ -32,27 +32,19 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--index", required=True)
-    ap.add_argument("--top", type=int, default=10, help="heaviest terms listed")
-    ap.add_argument("--cores", type=int, default=8)
-    args = ap.parse_args()
-
+def build_report(spark, index_root: str, top: int = 10) -> dict:
+    """The introspection report as a dict (CLI-independent so tests and
+    other tooling can call it against an existing session)."""
     from pyspark.sql import functions as F
 
     from invertedindexbuilder_spark.catalog import Catalog
     from invertedindexbuilder_spark.plans.build import SEARCH_TABLES, load_stats
-    from invertedindexbuilder_spark.session import get_spark
 
-    spark = get_spark(app_name="index-stats", cores=args.cores,
-                      shuffle_partitions=max(args.cores, 8))
-    spark.sparkContext.setLogLevel("ERROR")
-    cat = Catalog(spark, args.index)
+    cat = Catalog(spark, index_root)
 
-    report: dict = {"root": args.index, "stats": load_stats(spark, args.index)}
+    report: dict = {"root": index_root, "stats": load_stats(spark, index_root)}
 
-    manifest_path = os.path.join(args.index, "manifest.json")
+    manifest_path = os.path.join(index_root, "manifest.json")
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             m = json.load(f)
@@ -119,10 +111,26 @@ def main() -> int:
         report["heaviest_terms"] = [
             {"term": r["term"], "df": int(r["df"]),
              "payload_bytes": int(r["payload_bytes"])}
-            for r in src.orderBy(F.desc("df"), "term").limit(args.top).collect()
+            for r in src.orderBy(F.desc("df"), "term").limit(top).collect()
         ]
 
-    print(json.dumps(report, indent=2, sort_keys=True))
+    return report
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--top", type=int, default=10, help="heaviest terms listed")
+    ap.add_argument("--cores", type=int, default=8)
+    args = ap.parse_args()
+
+    from invertedindexbuilder_spark.session import get_spark
+
+    spark = get_spark(app_name="index-stats", cores=args.cores,
+                      shuffle_partitions=max(args.cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(build_report(spark, args.index, top=args.top),
+                     indent=2, sort_keys=True))
     spark.stop()
     return 0
 

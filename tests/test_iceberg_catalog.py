@@ -67,10 +67,10 @@ def test_iceberg_branch_routes_write_modes(spark, monkeypatch, tmp_path):
 @pytest.mark.skipif(
     not HAS_ICEBERG,
     reason="no Iceberg runtime jar in this sandbox (pyspark 4.1.2 bundles "
-    "none, no network to fetch one; re-verified r4: filesystem grep for "
-    "*iceberg*.jar empty, pip/maven unreachable) — the parquet backend is "
-    "the tested default per SURVEY §1.3; this test runs wherever the jar "
-    "exists",
+    "none, no network to fetch one; re-verified r5: filesystem find for "
+    "*iceberg* empty, maven central DNS-unresolvable) — the parquet "
+    "backend is the tested default per SURVEY §1.3; this test runs "
+    "wherever the jar exists",
 )
 def test_real_iceberg_build_compact(tmp_path):
     from pyspark.sql import SparkSession

@@ -212,3 +212,127 @@ def test_compact_search_tables_second_delta(spark, tmp_path):
         got = sorted(map(tuple, inc[name].collect()))
         want = sorted(map(tuple, full[name].collect()))
         assert got == want, name
+
+def test_compact_search_tables_replay_raises(spark, tmp_path):
+    """VERDICT r4 #4: a replayed delta (same doc_ids) must raise
+    BEFORE any write — per-doc appends double-count otherwise — and
+    the stored tables must be byte-identical afterwards."""
+    from invertedindexbuilder_spark.plans.build import (
+        SEARCH_TABLES,
+        compact_search_tables,
+    )
+
+    root = str(tmp_path / "replay")
+    build_search_tables(
+        spark, _docs(spark, [(0, "alpha beta"), (1, "beta gamma")]), root,
+        max_dist=1,
+    )
+    delta = _docs(spark, [(5, "gamma delta")])
+    compact_search_tables(spark, delta, root)
+    before = {
+        name: sorted(map(tuple, t.collect()))
+        for name, t in load_search_tables(spark, root).items()
+        if name in SEARCH_TABLES
+    }
+
+    with pytest.raises(ValueError, match="overlap"):
+        compact_search_tables(spark, delta, root)  # exact replay
+    with pytest.raises(ValueError, match="overlap"):
+        # partial overlap (one old id, one new) must also raise
+        compact_search_tables(
+            spark, _docs(spark, [(5, "gamma delta"), (9, "zeta")]), root
+        )
+    with pytest.raises(ValueError, match="empty delta"):
+        compact_search_tables(spark, delta.filter("doc_id < 0"), root)
+
+    after_tables = load_search_tables(spark, root)
+    after = {
+        name: sorted(map(tuple, t.collect()))
+        for name, t in after_tables.items()
+        if name in SEARCH_TABLES
+    }
+    assert before == after
+    assert after_tables["n_docs"] == 3
+    assert after_tables["max_doc_id"] == 5
+
+    # a genuinely-new delta still goes through after the rejected ones
+    compact_search_tables(spark, _docs(spark, [(9, "zeta alpha")]), root)
+    assert load_search_tables(spark, root)["max_doc_id"] == 9
+
+
+def test_compact_search_tables_stale_generation_reclaimed(spark, tmp_path):
+    """ADVICE r4: a crash AFTER the g{N} generation-dir writes but
+    BEFORE the pointer flip leaves a stale unreferenced dir; the next
+    compact must overwrite it (self-heal), not die on
+    'path already exists'."""
+    import os
+
+    from invertedindexbuilder_spark.plans.build import (
+        SEARCH_TABLES,
+        compact_search_tables,
+    )
+
+    root = str(tmp_path / "crash")
+    build_search_tables(
+        spark, _docs(spark, [(0, "alpha beta"), (1, "beta gamma")]), root,
+        max_dist=1,
+    )
+    # simulate the crashed run: generation dirs written, pointer NOT
+    # flipped (tables.json still resolves term_dfs to the base dir)
+    spark.createDataFrame(
+        [("stale", 999)], "t string, df long"
+    ).write.parquet(os.path.join(root, "term_dfs.g1"))
+    spark.createDataFrame(
+        [(99, 1, 99)], "n_docs long, max_dist int, max_doc_id long"
+    ).write.parquet(os.path.join(root, "search_stats.g1"))
+
+    compact_search_tables(spark, _docs(spark, [(5, "gamma delta")]), root)
+    served = load_search_tables(spark, root)
+    assert served["n_docs"] == 3  # not the stale 99
+    dfs = {r["t"]: r["df"] for r in served["term_dfs"].collect()}
+    assert "stale" not in dfs and dfs["gamma"] == 2
+
+    full_root = str(tmp_path / "crash_full")
+    build_search_tables(
+        spark,
+        _docs(
+            spark,
+            [(0, "alpha beta"), (1, "beta gamma"), (5, "gamma delta")],
+        ),
+        full_root,
+        max_dist=1,
+    )
+    full = load_search_tables(spark, full_root)
+    for name in SEARCH_TABLES:
+        assert sorted(map(tuple, served[name].collect())) == sorted(
+            map(tuple, full[name].collect())
+        ), name
+
+
+def test_search_tables_unpartitioned_equal(spark, tmp_path):
+    """partition=False (the gate/test-scale fast path: no range-
+    boundary sampling jobs) must produce row-identical stored tables
+    to the default range-partitioned layout, through a compact too."""
+    from invertedindexbuilder_spark.plans.build import (
+        SEARCH_TABLES,
+        compact_search_tables,
+    )
+
+    base = _docs(spark, [(0, "data join spark"), (1, "data le part")])
+    delta = _docs(spark, [(7, "zebra data scan")])
+    fast_root = str(tmp_path / "fast")
+    slow_root = str(tmp_path / "slow")
+    build_search_tables(spark, base, fast_root, max_dist=1, partition=False)
+    compact_search_tables(spark, delta, fast_root, partition=False)
+    build_search_tables(spark, base, slow_root, max_dist=1)
+    compact_search_tables(spark, delta, slow_root)
+    fast, slow = (
+        load_search_tables(spark, fast_root),
+        load_search_tables(spark, slow_root),
+    )
+    for name in SEARCH_TABLES:
+        assert sorted(map(tuple, fast[name].collect())) == sorted(
+            map(tuple, slow[name].collect())
+        ), name
+    assert fast["n_docs"] == slow["n_docs"] == 3
+    assert fast["max_doc_id"] == slow["max_doc_id"] == 7
