@@ -17,6 +17,7 @@ Coverage map (SURVEY §2 rows -> queries):
   incremental compaction    -> index_compacted
   federated merge (r3)      -> index_federated
   incr. search tables (r4)  -> search_dfs_compacted
+  stored ANN serving (r5)   -> ann_ivf_stored
   boolean NOT / facets (r3) -> bm25_and_not, bm25_filtered
   S4 sampling               -> sample_mod10
   training-data extensions  -> dedup_exact, dedup_jaccard,
@@ -1031,6 +1032,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, query_vec_id=0, k=10, centroids=cents, probe_all=True,
         )
 
+    def ann_ivf_stored(spark, sf_dir):
+        # STORED IVF serving (r5): materialize the cell-partitioned ANN
+        # table (cell=N/ dirs — probes prune file listings), serve the
+        # single-probe top-k from it; the oracle applies the identical
+        # cell restriction ad hoc.  localCheckpoint so the result
+        # survives the tmpdir cleanup.
+        import shutil as _sh
+        import tempfile as _tf
+
+        from invertedindexbuilder_spark.operators.similarity import (
+            ann_topk_stored,
+            build_ann_tables,
+        )
+
+        root = _tf.mkdtemp(prefix="gate_annidx_")
+        try:
+            build_ann_tables(spark, _embeddings(spark, sf_dir), root, dims=4)
+            return ann_topk_stored(
+                spark, root, query_vec_id=0, k=10, n_probes=1
+            ).localCheckpoint()
+        finally:
+            _sh.rmtree(root, ignore_errors=True)
+
     def embed_near_dup(spark, sf_dir):
         from invertedindexbuilder_spark.operators.similarity import (
             embedding_near_dup,
@@ -1401,6 +1425,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_winnow": fingerprint_winnow,
         "lineitem_rollup": lineitem_rollup,
         "search_dfs_compacted": search_dfs_compacted,
+        # r5 addition: canonical-LAST lands just inside this round's
+        # rotated head window (position 11), so the new gate gets a
+        # driver row in its debut round without displacing any of the
+        # 60 the coverage contract already tracks
+        "ann_ivf_stored": ann_ivf_stored,
     }
     return _rotate_gates(canonical)
 
@@ -1845,6 +1874,19 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
         ),
         "ann_ivf_probe1": (
+            "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+            + _cell_sql("embedding", 4)
+            + " AS cell FROM embeddings), "
+            "q AS (SELECT v AS qv, cell AS qc FROM c WHERE vec_id = 0) "
+            "SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / "
+            "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+            ", 6) AS cosine "
+            "FROM c e CROSS JOIN q WHERE e.vec_id != 0 AND e.cell = q.qc "
+            "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        # stored-IVF serving must equal the ad hoc single-probe IVF:
+        # identical cell restriction, computed ad hoc by the oracle
+        "ann_ivf_stored": (
             "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
             + _cell_sql("embedding", 4)
             + " AS cell FROM embeddings), "

@@ -277,3 +277,212 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+# --------------------------------------------------------------- stored ANN
+
+# logical table names of the materialized ANN index (same Catalog /
+# generation-pointer machinery as the main index and search tables)
+ANN_TABLES = ("ann_vectors", "ann_stats")
+
+
+def build_ann_tables(
+    spark,
+    embeddings: DataFrame,
+    out_root: str,
+    dims: int = 4,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Materialize the IVF index as a STORED table partitioned by cell
+    — the serving-side counterpart of :func:`ivf_topk` and the ANN twin
+    of plans.build.build_search_tables.
+
+    ``ann_vectors`` is written ``partitionBy("cell")`` (hive-style
+    ``cell=N/`` directories; Iceberg backend: identity partition
+    transform), so a probe's ``cell IN (...)`` filter prunes FILE
+    LISTINGS, not just rows — at 100 TB a 1-of-16 probe reads 1/16th
+    of the bytes and touches 1/16th of the objects.  Cells come from
+    the deterministic sign grid (``dims`` planes -> 2^dims cells) or,
+    when ``centroids`` is given (:func:`kmeans_fit`), from trained
+    Voronoi cells stored in ``ann_centroids``; the assignment rule is
+    FROZEN at build time — compaction appends under the same rule, and
+    retraining is a rebuild by contract (reassignment would rewrite
+    every partition).  ``ann_stats`` carries (n_vectors, dims,
+    trained, max_vec_id); max_vec_id is the compact replay guard's
+    watermark, mirroring search_stats.
+    """
+    from invertedindexbuilder_spark.catalog import Catalog
+
+    cat = Catalog(spark, out_root)
+    cell = (
+        kmeans_cell_expr(_as_double(F.col(vec_col)), centroids)
+        if centroids is not None
+        else grid_cell_expr(F.col(vec_col), dims)
+    )
+    vecs = embeddings.select(
+        cell.alias("cell"), F.col(id_col), F.col(vec_col)
+    )
+    cat.write(vecs, "ann_vectors", partition_by=["cell"])
+    if centroids is not None:
+        cat.write(
+            spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+                "cell int, centroid array<double>",
+            ),
+            "ann_centroids",
+        )
+    st = cat.read("ann_vectors").agg(
+        F.count("*").alias("n"), F.max(id_col).alias("mx")
+    ).collect()[0]
+    cat.write(
+        spark.createDataFrame(
+            [(int(st["n"]), dims, centroids is not None,
+              int(st["mx"]) if st["mx"] is not None else -1)],
+            "n_vectors long, dims int, trained boolean, max_vec_id long",
+        ),
+        "ann_stats",
+    )
+    return {"n_vectors": int(st["n"]), "dims": dims,
+            "trained": centroids is not None}
+
+
+def compact_ann_tables(
+    spark,
+    delta_embeddings: DataFrame,
+    out_root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    validate: bool = True,
+) -> dict:
+    """Fold a delta into the stored ANN index at O(delta) cost: assign
+    cells under the FROZEN build-time rule (stored centroids or the
+    grid) and append — cell partitioning makes the append land in the
+    right directories with no rewrite of existing files.  ``ann_stats``
+    publishes as a fresh generation with one atomic pointer flip.
+    Replays are rejected on the stored max_vec_id watermark (same
+    contract as compact_search_tables)."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    from invertedindexbuilder_spark.catalog import Catalog
+
+    cat = Catalog(spark, out_root)
+    st = cat.read("ann_stats").collect()[0].asDict()
+    rng = delta_embeddings.agg(
+        F.min(id_col).alias("mn"), F.max(id_col).alias("mx"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    if rng["mn"] is None:
+        raise ValueError("compact_ann_tables: empty delta")
+    if validate and int(rng["mn"]) <= int(st["max_vec_id"]):
+        raise ValueError(
+            f"compact_ann_tables: delta vec_ids [{int(rng['mn'])}, "
+            f"{int(rng['mx'])}] overlap the stored index (max_vec_id "
+            f"{int(st['max_vec_id'])}) — replayed or overlapping delta"
+        )
+    if bool(st["trained"]):
+        cents = [
+            list(r["centroid"])
+            for r in cat.read("ann_centroids").orderBy("cell").collect()
+        ]
+        cell = kmeans_cell_expr(_as_double(F.col(vec_col)), cents)
+    else:
+        cell = grid_cell_expr(F.col(vec_col), int(st["dims"]))
+    cat.write(
+        delta_embeddings.select(
+            cell.alias("cell"), F.col(id_col), F.col(vec_col)
+        ),
+        "ann_vectors",
+        mode="append",
+        partition_by=["cell"],
+    )
+    referenced = [
+        int(mm.group(1))
+        for v in cat.mappings().values()
+        if (mm := _re.search(r"\.g(\d+)$", v))
+    ]
+    gen = max([*referenced, 0]) + 1
+    phys = f"ann_stats.g{gen}"
+    spark.createDataFrame(
+        [(int(st["n_vectors"]) + int(rng["n"]), int(st["dims"]),
+          bool(st["trained"]), int(rng["mx"]))],
+        "n_vectors long, dims int, trained boolean, max_vec_id long",
+    ).write.mode("overwrite").parquet(_os.path.join(out_root, phys))
+    for o in cat.publish({"ann_stats": phys}):
+        _shutil.rmtree(o, ignore_errors=True)
+    return {"n_delta": int(rng["n"]),
+            "n_vectors": int(st["n_vectors"]) + int(rng["n"])}
+
+
+def ann_topk_stored(
+    spark,
+    out_root: str,
+    query_vec_id: int | None = None,
+    query_vec: list[float] | None = None,
+    k: int = 10,
+    n_probes: int = 1,
+    probe_all: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Serve top-k cosine from the STORED ANN index: resolve the probe
+    cells driver-side (O(cells) for trained, O(1) for the grid), scan
+    ONLY those partitions (``cell IN`` prunes directories — pinned in
+    tests/test_ann_stored.py), exact-rerank the probed vectors.
+
+    The query is a literal ``query_vec`` (the serving case: queries
+    are not in the table) or a ``query_vec_id`` present in the stored
+    index (the gate/bench case — that id is excluded from results,
+    matching :func:`cosine_topk`)."""
+    from invertedindexbuilder_spark.catalog import Catalog
+
+    if (query_vec is None) == (query_vec_id is None):
+        raise ValueError("pass exactly one of query_vec / query_vec_id")
+    cat = Catalog(spark, out_root)
+    st = cat.read("ann_stats").collect()[0].asDict()
+    vecs = cat.read("ann_vectors")
+
+    if query_vec is None:
+        qrow = vecs.filter(F.col(id_col) == query_vec_id).select(
+            vec_col
+        ).collect()
+        if not qrow:
+            raise ValueError(f"query_vec_id {query_vec_id} not in index")
+        query_vec = [float(x) for x in qrow[0][0]]
+
+    if not probe_all:
+        if bool(st["trained"]):
+            cents = [
+                list(r["centroid"])
+                for r in cat.read("ann_centroids").orderBy("cell").collect()
+            ]
+            d = [
+                sum((a - b) * (a - b) for a, b in zip(query_vec, c, strict=True))
+                for c in cents
+            ]
+            probes = sorted(range(len(cents)), key=lambda j: (d[j], j))[
+                : max(1, n_probes)
+            ]
+        else:
+            dims = int(st["dims"])
+            qcell = sum(
+                (1 << d) for d in range(dims) if query_vec[d] > 0
+            )
+            probes = probe_ring(qcell, dims, n_probes)
+        vecs = vecs.filter(F.col("cell").isin([int(p) for p in probes]))
+
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = vecs.select(
+        F.col(id_col),
+        F.round(
+            dot_expr(F.col(vec_col), qlit)
+            / (norm_expr(F.col(vec_col)) * norm_expr(qlit)),
+            round_digits,
+        ).alias("cosine"),
+    )
+    if query_vec_id is not None:
+        scored = scored.filter(F.col(id_col) != query_vec_id)
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
