@@ -45,7 +45,15 @@ def ensure_index(spark, n_docs: int) -> str:
     t0 = time.time()
     build(
         spark,
-        synthetic_docs_src(spark, n_docs, token_range=(200, 1601)),
+        synthetic_docs_src(
+            spark,
+            n_docs,
+            token_range=(200, 1601),
+            # default caps at 64 partitions; at 30M docs that is a
+            # ~470k-doc / ~2.5 GB-of-text task — one straggler wedged
+            # a 25-min run (r5).  ~125k docs/task keeps tasks small.
+            num_partitions=max(64, n_docs // 125_000),
+        ),
         out,
         merged=False,
     )
