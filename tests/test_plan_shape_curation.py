@@ -102,8 +102,9 @@ def test_unigram_xent_counts_join_broadcasts(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, forced.collect())
     )
-    # the auto decision flips off above the vocab limit
-    tiny_limit = unigram_cross_entropy(hot, broadcast_vocab_limit=1)
+    # the auto decision flips off above the BYTE limit (ADVICE r4:
+    # sized by estimated broadcast bytes, not row count)
+    tiny_limit = unigram_cross_entropy(hot, broadcast_bytes_limit=1)
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, tiny_limit.collect())
     )
