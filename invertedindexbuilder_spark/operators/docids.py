@@ -76,14 +76,26 @@ def attach_doc_ids(
     ids: DataFrame,
     total: int,
     sort_keys: list[str] | None = None,
-    broadcast_limit: int = 20_000_000,
+    broadcast_bytes_limit: int = 512 << 20,
+    avg_row_bytes: float = 128.0,
 ) -> DataFrame:
     """Join the id map back onto the full table.  Broadcast while the
-    map fits executor memory (rows <= broadcast_limit); beyond that —
-    10^12-file scale — a sort-merge join on the unique key, which AQE
-    plans from the same expression."""
+    map fits driver/executor memory; beyond that — 10^12-file scale —
+    a sort-merge join on the unique key, which AQE plans from the same
+    expression.
+
+    The broadcast decision is BYTE-sized, not row-counted (the r5
+    federated 10M-doc shard build OOMed the 8 GB driver through the
+    old 20M-ROW limit: (repo, path, commit, doc_id) rows are ~100 B
+    serialized and several hundred bytes as a JVM hash relation, so
+    20M rows was a multi-GB broadcast that passed the row check —
+    the exact failure mode ADVICE r4 flagged for the curation counts
+    join).  est = total x ``avg_row_bytes`` (key bytes + per-entry
+    hash-relation overhead, deliberately conservative) against
+    ``broadcast_bytes_limit`` (default 512 MB -> ~4M rows): an
+    underestimate OOMs the driver, an overestimate merely shuffles."""
     sort_keys = sort_keys or SORT_KEYS
-    if 0 <= total <= broadcast_limit:
+    if 0 <= total * avg_row_bytes <= broadcast_bytes_limit:
         ids = F.broadcast(ids)
     return df.join(ids, on=sort_keys)
 
