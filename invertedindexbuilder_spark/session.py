@@ -11,6 +11,7 @@ def get_spark(
     app_name: str = "invertedindexbuilder-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    task_retries: int = 1,
 ) -> SparkSession:
     """Local-mode session for tests/bench.  On a real cluster the same
     configs apply; master/executors come from spark-submit instead.
@@ -24,9 +25,18 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # Bare local[N] hard-codes maxFailures=1: ONE crashed python worker
+    # (observed: a silent worker death in a 240-task 30M-doc build)
+    # fails the whole job.  Long benches pass task_retries>1, matching
+    # a real cluster's spark.task.maxFailures=4 default; tests keep the
+    # fail-fast default so assertion errors surface on first failure.
+    master = (
+        f"local[{cores}]" if task_retries <= 1
+        else f"local[{cores},{task_retries}]"
+    )
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -38,6 +48,11 @@ def get_spark(
         # dominate anyway (these only LOWER granularity).
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # a crashed worker otherwise dies silently ("exited
+        # unexpectedly") — the fault handler dumps the python stack
+        # into the executor log at negligible steady-state cost
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -33,6 +33,14 @@ WORK = "/tmp/iib_bmw"
 OR_QUERY = "rare0007 rare0123 common"   # 2 light lists + 1 heavy stopword
 AND_QUERY = "rare0007 common"           # rarest-list candidate decode
 
+# At the bench token profile (200-1600 tokens/doc) the Zipf head of
+# MID_TERMS saturates: each of these has df ~= N, i.e. every extra
+# term adds a full ~0.95N-posting heavy list to the OR.  --heavies K
+# appends K-1 of them after 'common', isolating the crossover's decode
+# term (or_full grows linearly in K, or_bmw's overhead does not).
+EXTRA_HEAVIES = ["alpha", "beta", "gamma", "delta", "epsilon",
+                 "zeta", "eta"]
+
 
 def ensure_index(spark, n_docs: int) -> str:
     from invertedindexbuilder_spark.plans.build import build
@@ -77,8 +85,16 @@ def main() -> int:
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--heavies", type=int, default=1,
+                    help="number of ~0.95N-df heavy lists in the OR "
+                         "query (default 1 = just 'common'); >1 appends "
+                         "MID_TERMS Zipf heads, each a full extra heavy "
+                         "list at the bench token profile")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
+    or_query = OR_QUERY
+    if args.heavies > 1:
+        or_query += " " + " ".join(EXTRA_HEAVIES[: args.heavies - 1])
 
     from invertedindexbuilder_spark.catalog import Catalog
     from invertedindexbuilder_spark.operators.query_exec import (
@@ -89,7 +105,7 @@ def main() -> int:
 
     os.makedirs(WORK, exist_ok=True)
     spark = get_spark(app_name="bench-bmw", cores=args.cores,
-                      shuffle_partitions=args.cores)
+                      shuffle_partitions=args.cores, task_retries=4)
     spark.sparkContext.setLogLevel("ERROR")
 
     results = []
@@ -107,12 +123,13 @@ def main() -> int:
             ).collect()
 
         # warm both paths once (python workers / codegen) outside the clock
-        run(OR_QUERY, "or", or_prune=True)()
-        run(OR_QUERY, "or", or_prune=False)()
+        run(or_query, "or", or_prune=True)()
+        run(or_query, "or", or_prune=False)()
         row = {
             "n_docs": n,
-            "or_bmw": timed(run(OR_QUERY, "or", or_prune=True), args.reps),
-            "or_full": timed(run(OR_QUERY, "or", or_prune=False), args.reps),
+            "heavies": args.heavies,
+            "or_bmw": timed(run(or_query, "or", or_prune=True), args.reps),
+            "or_full": timed(run(or_query, "or", or_prune=False), args.reps),
             "and_prune": timed(
                 run(AND_QUERY, "and", and_prune=True), args.reps
             ),
@@ -132,7 +149,7 @@ def main() -> int:
             shutil.rmtree(out, ignore_errors=True)
 
     print(json.dumps({"summary": results, "cores": args.cores,
-                      "or_query": OR_QUERY, "and_query": AND_QUERY}))
+                      "or_query": or_query, "and_query": AND_QUERY}))
     spark.stop()
     return 0
 
