@@ -106,14 +106,28 @@ def prepare_docs(
     (model_support.c:388-425), the docs table is metadata; content
     stays in the durable source table and is re-joined by doc_id when
     needed.  The id map is built on the key columns only and joined
-    back (broadcast under attach_doc_ids' limit, SMJ beyond)."""
+    back (broadcast under attach_doc_ids' limit, SMJ beyond).
+
+    PRE-ASSIGNED IDS: a source that already carries a ``doc_id``
+    column (re-index of a previous build, upstream ingestion system,
+    CDC feed) skips the id-map assignment AND the join entirely —
+    content then never enters any shuffle; the only wide data movement
+    left in the whole build is the postings shuffle, which is O(terms
+    x docs), not O(corpus bytes).  ``build()`` validates the provided
+    ids (unique, non-negative) in its existing one-pass stats agg over
+    the written docs table.  The reference's own assignment is scan
+    order (main.c:124); providing ids makes the caller responsible for
+    rank parity with it."""
     # S3 document filter (main.c:271-272): the reference skips docs
     # whose URL doesn't start with 'h' BEFORE assigning ids.  Our
     # synthesized urls always do (FIXTURES.md), so this is a no-op
     # here, but the operator is in the plan for parity.
     filtered = with_url(docs_src).filter(F.col("url").startswith("h")).drop("url")
-    ids, total = doc_id_map(filtered, cache_scope=cache_scope)
-    full = attach_doc_ids(filtered, ids, total)
+    if "doc_id" in docs_src.columns:
+        full = filtered
+    else:
+        ids, total = doc_id_map(filtered, cache_scope=cache_scope)
+        full = attach_doc_ids(filtered, ids, total)
     return with_url(full).select(
         "doc_id",
         "repo",
@@ -165,12 +179,18 @@ def build(
     cat = Catalog(spark, out_root)
     manifest = BuildManifest(out_root)
 
+    preassigned_ids = "doc_id" in docs_src.columns
+
     def docs_fp(df: DataFrame):
         return df.agg(
             F.count("*").alias("n"),
             F.bit_xor(F.xxhash64("repo", "path", "commit")).alias("h"),
             F.sum("doc_len").alias("sum_doc_len"),
             F.min("doc_len").alias("min_doc_len"),
+            # id validation rides the same single pass (only consulted
+            # on the pre-assigned-id ingestion path)
+            F.count_distinct("doc_id").alias("n_ids"),
+            F.min("doc_id").alias("min_id"),
         ).collect()[0]
 
     # ---- phase 1: docs (PARSE side output F3 + doc ids) ----
@@ -189,6 +209,15 @@ def build(
                 "no documents to index: the source (after the URL filter) "
                 "is empty — check upstream filters/curation"
             )
+        if preassigned_ids and (
+            agg["n_ids"] != agg["n"] or agg["min_id"] < 0
+        ):
+            raise ValueError(
+                f"pre-assigned doc_id column is invalid: {agg['n']} rows "
+                f"but {agg['n_ids']} distinct ids (min {agg['min_id']}) — "
+                "ids must be unique and non-negative; drop the column to "
+                "let the build assign rank-order ids instead"
+            )
         fp = f"n={agg['n']},h={agg['h']}"
         manifest.record(
             "docs",
@@ -204,21 +233,31 @@ def build(
 
     # tokenizer input: content comes from the SOURCE table re-joined
     # with the checkpointed id map (docs is metadata-only); broadcast
-    # join below the id-map limit, sort-merge beyond
+    # join below the id-map limit, sort-merge beyond.  With
+    # pre-assigned ids there is NO join — tokenize reads the source
+    # scan directly and content bytes never cross a shuffle boundary.
     n_docs = int(manifest.data["phases"]["docs"]["rows"])
-    docs_tok = attach_doc_ids(
-        docs_src.select(*SORT_KEYS, "content"),
-        docs.select(*SORT_KEYS, "doc_id"),
-        n_docs,
-    ).select("doc_id", "content")
+    if preassigned_ids:
+        docs_tok = docs_src.select("doc_id", "content")
+    else:
+        docs_tok = attach_doc_ids(
+            docs_src.select(*SORT_KEYS, "content"),
+            docs.select(*SORT_KEYS, "doc_id"),
+            n_docs,
+        ).select("doc_id", "content")
 
     # Guard tokenizer parallelism: a small input can coalesce to a
     # handful of splits, serializing the CPU-bound tokenize stage.
-    # Cheap at small scale; never triggers on a real corpus.
+    # Bounded by the machine's actual parallelism: repartitioning up
+    # to a PARTITION-count target (observed: 32 join partitions ->
+    # 240) re-shuffles every content byte for zero extra concurrency
+    # — at 30M docs that second full-corpus shuffle alone overflowed
+    # a single node's disk.
     min_par = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    if docs_tok.rdd.getNumPartitions() < min_par:
+    tok_par = min(min_par, spark.sparkContext.defaultParallelism)
+    if docs_tok.rdd.getNumPartitions() < tok_par:
         docs_tok = docs_tok.repartition(min_par)
 
     tokenize = build_postings_jvm if tokenizer == "jvm" else build_postings

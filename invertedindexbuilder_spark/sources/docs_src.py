@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from invertedindexbuilder_spark.schemas import DOCS_SRC
 
@@ -100,23 +101,38 @@ def synthetic_docs_src(
     num_partitions: int | None = None,
     token_range: tuple[int, int] = (5, 401),
     start: int = 0,
+    with_ids: bool = False,
 ) -> DataFrame:
     """token_range (5, 401) is the FIXTURES.md contract (oracle corpora
     must keep it); bench corpora may pass a source-file-sized range.
     ``start`` shifts the row-index range — rows [start, start+n_docs)
     — so a compaction DELTA corpus is generated disjoint from (and
-    identical to the corresponding slice of) a bigger corpus."""
+    identical to the corresponding slice of) a bigger corpus.
+
+    ``with_ids=True`` emits ``doc_id`` = row index, exercising the
+    build's pre-assigned-id ingestion path (plans.build.prepare_docs):
+    content then never enters a shuffle, which is what lets 10^7.5-doc
+    bench builds fit a single node's disk."""
     if num_partitions is None:
         num_partitions = max(1, min(64, n_docs // 2000 + 1))
+
+    schema = DOCS_SRC
+    if with_ids:
+        schema = T.StructType(
+            [T.StructField("doc_id", T.LongType())] + list(DOCS_SRC.fields)
+        )
 
     def gen(batches):
         for pdf in batches:
             if len(pdf):
-                yield _gen_rows(pdf["id"].values, seed, token_range)
+                out = _gen_rows(pdf["id"].values, seed, token_range)
+                if with_ids:
+                    out.insert(0, "doc_id", pdf["id"].values)
+                yield out
 
     return (
         spark.range(start, start + n_docs, numPartitions=num_partitions)
-        .mapInPandas(gen, schema=DOCS_SRC)
+        .mapInPandas(gen, schema=schema)
     )
 
 

@@ -51,6 +51,15 @@ def ensure_index(spark, n_docs: int) -> str:
         return out
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
+    # shuffle partitions sized to the DATA, not the core count: the
+    # postings shuffle at 30M docs is ~1.3B rows, and 32 reducers
+    # each sorting 40M+ rows spill multiply.  Restored for the (small)
+    # query phase by the caller.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(int(spark.sparkContext.defaultParallelism),
+                n_docs // 250_000)),
+    )
     build(
         spark,
         synthetic_docs_src(
@@ -61,6 +70,11 @@ def ensure_index(spark, n_docs: int) -> str:
             # ~470k-doc / ~2.5 GB-of-text task — one straggler wedged
             # a 25-min run (r5).  ~125k docs/task keeps tasks small.
             num_partitions=max(64, n_docs // 125_000),
+            # row index = doc_id: drives the pre-assigned-id ingestion
+            # path, so content never shuffles — the id-map sort-merge
+            # join's shuffle files at 30M docs (~corpus bytes) were
+            # what overflowed this sandbox's disk
+            with_ids=True,
         ),
         out,
         merged=False,
@@ -111,6 +125,7 @@ def main() -> int:
     results = []
     for n in sizes:
         out = ensure_index(spark, n)
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.cores))
         cat = Catalog(spark, out)
         chunks = cat.read("index_chunks").cache()
         docs = cat.read("docs").select("doc_id", "doc_len").cache()
