@@ -88,7 +88,21 @@ BMW_CANDIDATE_LIMIT = 200_000
 # of the page cache, so a real 10^12-doc deployment crosses over far
 # below its corpus size — recalibrate with bench_bmw.py on the target
 # cluster.  Full numbers in BENCH/SCALE.md.
-AUTO_OR_PRUNE_MIN_DOCS = 30_000_000
+#
+# r5 refinement, from the first above-crossover measurements at 30M
+# docs (warm, min-of-3): 1 heavy list (~2.85e7 skippable postings)
+# still LOSES by 1.07 s, 4 heavy lists (~1.14e8) WINS by 0.97 s — the
+# decision variable is the query's total heavy-list posting volume,
+# not corpus size.  Interpolating the two points puts the in-memory
+# zero crossing at ~7.3e7 heavy postings; the auto rule now sums the
+# matched heavy dfs (free in the chunked path — the single-scan
+# lookup already collected them) and engages above this volume.
+AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS = 75_000_000
+# Corpus floor below which the merged path skips even the per-term
+# metadata collect that the volume rule needs: with the default
+# heavy_df classifier a query needs heavy lists summing to 7.5e7
+# postings, implausible below ~10M docs.
+AUTO_OR_PRUNE_MIN_DOCS = 10_000_000
 # The conjunctive candidate path is cheaper than BMW (one rare-list
 # decode+collect, no scoring pass, no soundness-check job), so its
 # crossover comes earlier: measured deficit vs full decode was 1.86 s /
@@ -614,7 +628,10 @@ def topk_bm25(
 
     n_docs = int(stats["n_docs"])
     davr = float(stats["sum_doc_len"]) / float(n_docs - 1)  # reference N-1 quirk
-    if or_prune == "auto":
+    auto_or = or_prune == "auto"
+    if auto_or:
+        # provisional corpus floor; the real (posting-volume) decision
+        # happens below once the per-term metadata is collected
         or_prune = n_docs >= AUTO_OR_PRUNE_MIN_DOCS
     if and_prune == "auto":
         and_prune = n_docs >= AUTO_AND_PRUNE_MIN_DOCS
@@ -660,11 +677,13 @@ def topk_bm25(
         meta = matched.select(
             "key", "df", "weight", F.array_max("max_tf").alias("mt")
         ).collect()
-        decoded = _try_bmw_or_decode(
-            spark, matched, meta, docs, stats, n_docs, davr,
-            k, heavy_df, cand_limit, counters,
-            rows_for=rows_for, round_digits=round_digits,
-        )
+        skippable = sum(r["df"] for r in meta if r["df"] >= heavy_df)
+        if not auto_or or skippable >= AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS:
+            decoded = _try_bmw_or_decode(
+                spark, matched, meta, docs, stats, n_docs, davr,
+                k, heavy_df, cand_limit, counters,
+                rows_for=rows_for, round_digits=round_digits,
+            )
 
     if decoded is None:
         decoded = decode_matched_rows(
@@ -804,7 +823,13 @@ def topk_bm25_chunked(
     n_docs = int(stats["n_docs"])
     davr = float(stats["sum_doc_len"]) / float(n_docs - 1)
     if or_prune == "auto":
-        or_prune = n_docs >= AUTO_OR_PRUNE_MIN_DOCS
+        # posting-volume rule, free here: the single-scan lookup
+        # already collected every matched term's full df
+        skippable = sum(
+            w["term_df"] for w in winners.values()
+            if w["term_df"] >= heavy_df
+        )
+        or_prune = skippable >= AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS
     if and_prune == "auto":
         and_prune = n_docs >= AUTO_AND_PRUNE_MIN_DOCS
 

@@ -47,8 +47,15 @@ def ensure_index(spark, n_docs: int) -> str:
     from invertedindexbuilder_spark.sources.docs_src import synthetic_docs_src
 
     out = os.path.join(WORK, f"idx_{n_docs}")
-    if os.path.exists(os.path.join(out, "tables.json")):
-        return out
+    # completeness = the build manifest's index phase (tables.json is
+    # the COMPACTION generation pointer — a fresh build never writes
+    # it, so checking it here rebuilt a finished 60-minute 30M index)
+    mpath = os.path.join(out, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            phases = json.load(f).get("phases", {})
+        if phases.get("index", {}).get("status") == "done":
+            return out
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
     # shuffle partitions sized to the DATA, not the core count: the

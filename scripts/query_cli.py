@@ -222,12 +222,16 @@ def _spark_runner(args):
 
             from invertedindexbuilder_spark.operators.query_exec import (
                 AUTO_AND_PRUNE_MIN_DOCS,
-                AUTO_OR_PRUNE_MIN_DOCS,
+                AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS,
             )
 
+            # AND auto keys on corpus size; OR auto keys on the
+            # query's summed heavy-list dfs (r5 posting-volume rule) —
+            # prune_engaged below is the ground truth of what ran
             thr = (AUTO_AND_PRUNE_MIN_DOCS if mode == "and"
-                   else AUTO_OR_PRUNE_MIN_DOCS)
-            auto_on = int(stats["n_docs"]) >= thr
+                   else AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS)
+            auto_on = (int(stats["n_docs"]) >= thr if mode == "and"
+                       else int(counters["total"].value) > 0)
             total = int(counters["total"].value)
             decoded = int(counters["decoded"].value)
             print(
@@ -240,7 +244,9 @@ def _spark_runner(args):
                         "blocks_decoded": decoded,
                         "blocks_skipped": total - decoded,
                         "auto_prune_on": bool(auto_on or args.force_prune),
-                        "auto_threshold_docs": thr,
+                        "auto_rule": ("n_docs >= threshold" if mode == "and"
+                                      else "sum(heavy dfs) >= threshold"),
+                        "auto_threshold": thr,
                         "n_docs": int(stats["n_docs"]),
                         "ms": round(dt, 1),
                     }

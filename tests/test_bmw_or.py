@@ -244,3 +244,36 @@ def test_or_negative_idf_candidate_only_path_prunes_when_sound(spark, neg_env):
     assert _key(pruned) == _key(full) and len(full) == 5
     assert counters["total"].value > 0
     assert counters["decoded"].value < counters["total"].value / 4
+
+
+def test_or_auto_rule_keys_on_heavy_posting_volume(spark, env, monkeypatch):
+    """r5 auto rule: or_prune="auto" engages iff the query's summed
+    heavy-list dfs reach AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS — corpus
+    size alone neither enables (big corpus, light query) nor blocks
+    (small corpus never reaches the volume) it.  Pinned by flipping
+    the threshold around this fixture's 'common' df (10k)."""
+    from invertedindexbuilder_spark.operators import query_exec as qe
+
+    def run(counters):
+        return topk_bm25_chunked(
+            spark, env["chunks"], env["docs"], env["stats"],
+            "rareone common", mode="or", k=10, round_digits=6,
+            or_prune="auto", counters=counters,
+        ).collect()
+
+    acc = {
+        "decoded": spark.sparkContext.accumulator(0),
+        "total": spark.sparkContext.accumulator(0),
+    }
+    monkeypatch.setattr(qe, "AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS", 5_000)
+    engaged = run(acc)
+    assert acc["total"].value > 0, "volume above threshold must engage BMW"
+
+    acc2 = {
+        "decoded": spark.sparkContext.accumulator(0),
+        "total": spark.sparkContext.accumulator(0),
+    }
+    monkeypatch.setattr(qe, "AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS", 50_000)
+    off = run(acc2)
+    assert acc2["total"].value == 0, "volume below threshold must full-decode"
+    assert _key(engaged) == _key(off)
