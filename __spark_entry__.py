@@ -511,16 +511,16 @@ def _rotate_gates(d: dict) -> dict:
     under a budget that empirically caps at the first 50 entries
     (CORRECTNESS_r03/r04 both hold exactly the first 50 rows).  With 60
     gates, a fixed order leaves the same 10-gate tail permanently
-    unattested.  Rotating the canonical order by ``(10 * round) mod
-    len`` slides a fresh 10-gate window to the head each round, so
-    every gate lands inside the driver's 50-row window at least every
-    other round.  Round 5 (offset 50) puts the 10 gates missing from
-    CORRECTNESS_r04 — the ANN/similarity family, simhash,
-    fingerprint_winnow, lineitem_rollup, search_dfs_compacted — at
-    positions 1-10.
+    unattested.  The step is ``len - 50`` — exactly the size of the
+    window's shadow — so consecutive rounds' shadows are disjoint and
+    EVERY gate lands inside the driver's 50-row window at least every
+    other round (r5's step of 10 under a 61-gate list left an 11-gate
+    shadow whose consecutive rounds overlapped by one gate,
+    `simhash_pairs`; VERDICT r5 #1).
     """
     names = list(d)
-    off = (10 * _gate_round()) % len(names)
+    step = max(1, len(names) - 50)
+    off = (step * _gate_round()) % len(names)
     return {k: d[k] for k in names[off:] + names[:off]}
 
 

@@ -677,7 +677,10 @@ def topk_bm25(
         meta = matched.select(
             "key", "df", "weight", F.array_max("max_tf").alias("mt")
         ).collect()
-        skippable = sum(r["df"] for r in meta if r["df"] >= heavy_df)
+        # strict > to match _try_bmw_or_decode's heavy classifier: a
+        # term with df == heavy_df is decoded as a LIGHT list, so it
+        # must not count toward the prunable posting volume either
+        skippable = sum(r["df"] for r in meta if r["df"] > heavy_df)
         if not auto_or or skippable >= AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS:
             decoded = _try_bmw_or_decode(
                 spark, matched, meta, docs, stats, n_docs, davr,
@@ -827,7 +830,9 @@ def topk_bm25_chunked(
         # already collected every matched term's full df
         skippable = sum(
             w["term_df"] for w in winners.values()
-            if w["term_df"] >= heavy_df
+            # strict > matches the decoder's heavy classifier (df ==
+            # heavy_df terms are decoded as light lists)
+            if w["term_df"] > heavy_df
         )
         or_prune = skippable >= AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS
     if and_prune == "auto":

@@ -182,16 +182,21 @@ def build(
     preassigned_ids = "doc_id" in docs_src.columns
 
     def docs_fp(df: DataFrame):
-        return df.agg(
+        aggs = [
             F.count("*").alias("n"),
             F.bit_xor(F.xxhash64("repo", "path", "commit")).alias("h"),
             F.sum("doc_len").alias("sum_doc_len"),
             F.min("doc_len").alias("min_doc_len"),
-            # id validation rides the same single pass (only consulted
-            # on the pre-assigned-id ingestion path)
-            F.count_distinct("doc_id").alias("n_ids"),
-            F.min("doc_id").alias("min_id"),
-        ).collect()[0]
+        ]
+        if preassigned_ids:
+            # id validation rides the same single pass; rank-assigned
+            # builds skip the distinct so they keep the cheaper plan
+            aggs += [
+                F.count_distinct("doc_id").alias("n_ids"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+            ]
+        return df.agg(*aggs).collect()[0]
 
     # ---- phase 1: docs (PARSE side output F3 + doc ids) ----
     t0 = time.time()
@@ -210,13 +215,25 @@ def build(
                 "is empty — check upstream filters/curation"
             )
         if preassigned_ids and (
-            agg["n_ids"] != agg["n"] or agg["min_id"] < 0
+            agg["n_ids"] != agg["n"]
+            or agg["min_id"] < 0
+            # density: with n distinct non-negative ids, max == n-1
+            # holds iff the ids are exactly 0..n-1.  compact() assigns
+            # delta ids at n_old+rank and classifies base-vs-delta rows
+            # by doc_id >= n_old, and merge_builds() shifts shard B by
+            # n_docs(A) — a sparse-id build would later fail compaction
+            # or silently collide two documents on one id in a merge,
+            # so reject it here with the contract spelled out.
+            or agg["max_id"] != agg["n"] - 1
         ):
             raise ValueError(
                 f"pre-assigned doc_id column is invalid: {agg['n']} rows "
-                f"but {agg['n_ids']} distinct ids (min {agg['min_id']}) — "
-                "ids must be unique and non-negative; drop the column to "
-                "let the build assign rank-order ids instead"
+                f"but {agg['n_ids']} distinct ids (min {agg['min_id']}, "
+                f"max {agg['max_id']}) — ids must be exactly the dense "
+                f"range 0..{agg['n'] - 1}: unique, non-negative, and gap-"
+                "free (compact/merge address new docs at n..; a sparse "
+                "build would collide or orphan ids there).  Drop the "
+                "column to let the build assign rank-order ids instead"
             )
         fp = f"n={agg['n']},h={agg['h']}"
         manifest.record(
@@ -258,7 +275,11 @@ def build(
     )
     tok_par = min(min_par, spark.sparkContext.defaultParallelism)
     if docs_tok.rdd.getNumPartitions() < tok_par:
-        docs_tok = docs_tok.repartition(min_par)
+        # target tok_par, NOT min_par: repartitioning an under-split
+        # source to the (possibly data-sized) partition-count target
+        # would recreate the oversized full-content shuffle this guard
+        # exists to avoid — core count is all the concurrency there is
+        docs_tok = docs_tok.repartition(tok_par)
 
     tokenize = build_postings_jvm if tokenizer == "jvm" else build_postings
 

@@ -85,3 +85,15 @@ def test_negative_provided_ids_raise(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="pre-assigned doc_id"):
         build(spark, src, str(tmp_path / "neg"))
+
+
+def test_sparse_provided_ids_raise(spark, tmp_path):
+    # unique and non-negative but NOT dense 0..n-1: compact() addresses
+    # delta docs at n..n+d-1 and merge_builds() shifts shard B by
+    # n_docs(A), so a gap-ful id space would later collide or orphan ids
+    # — the build must reject it up front (ADVICE r5 high)
+    src = synthetic_docs_src(spark, 50, with_ids=True).withColumn(
+        "doc_id", F.col("doc_id") * 2
+    )
+    with pytest.raises(ValueError, match="dense"):
+        build(spark, src, str(tmp_path / "sparse"))
