@@ -224,19 +224,18 @@ def _bucket_hash(col: Column, hash_mode: str) -> Column:
     return F.md5(col) if hash_mode == "md5" else F.xxhash64(col)
 
 
-def minhash_signatures(
+def _minhash_wide(
     docs: DataFrame,
-    num_hashes: int = 16,
-    n: int = 3,
-    text_col: str = "text",
-    shingles: DataFrame | None = None,
-    hash_mode: str = "md5",
+    num_hashes: int,
+    n: int,
+    text_col: str,
+    shingles: DataFrame | None,
+    hash_mode: str,
 ) -> DataFrame:
-    """(doc_id, k, minhash): k-th minhash of the shingle set.
+    """(doc_id, m0..m{K-1}): all K minhashes in ONE row per doc.
 
     All K minima are computed as K agg expressions over ONE pass of the
-    shingle rows (no K-fold explode — 16x less shuffle volume), then
-    unpivoted with ``stack``."""
+    shingle rows (no K-fold explode — 16x less shuffle volume)."""
     sh = (
         shingles if shingles is not None else doc_shingles(docs, n, text_col)
     ).withColumn("h", _shingle_hash(F.col("shingle"), hash_mode))
@@ -250,7 +249,20 @@ def minhash_signatures(
         ).alias(f"m{k}")
         for k in range(num_hashes)
     ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """(doc_id, k, minhash): k-th minhash of the shingle set, unpivoted
+    from the wide frame with ``stack``."""
+    wide = _minhash_wide(docs, num_hashes, n, text_col, shingles, hash_mode)
     stack_args = ", ".join(f"{k}, m{k}" for k in range(num_hashes))
     return wide.select(
         "doc_id",
@@ -271,29 +283,39 @@ def lsh_band_buckets(
     Shared by in-corpus pair generation (minhash_lsh_pairs) and the
     STORED fingerprint table an incremental pipeline keeps so later
     deltas can find near-dups of already-curated docs without
-    re-shingling the base corpus (plans/curate.curate_delta)."""
+    re-shingling the base corpus (plans/curate.curate_delta).
+
+    Band buckets are projected straight off the WIDE signature row —
+    a doc's K minhashes are already co-located in one row after the
+    signature agg, so the former unpivot + groupBy(doc_id, band) +
+    collect_list/sort round-trip was a pure extra shuffle of the
+    corpus-sized signature frame (r6).  The digested string is
+    byte-identical to the old sort-by-k concat ("k:minhash" joined by
+    ","), so buckets — and the DuckDB oracle — are unchanged.
+    """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(
-        docs, num_hashes, n, text_col, shingles=shingles, hash_mode=hash_mode
-    )
-    return (
-        sig.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            # sort by NUMERIC k via struct sort (string sort would order
-            # "10:" before "8:" and disagree with the SQL ORDER BY k)
+    wide = _minhash_wide(docs, num_hashes, n, text_col, shingles, hash_mode)
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
             _bucket_hash(
                 F.concat_ws(
                     ",",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("k", "minhash"))),
-                        lambda s: F.concat_ws(":", s["k"], s["minhash"]),
-                    ),
+                    *[
+                        F.concat_ws(":", F.lit(k), F.col(f"m{k}"))
+                        for k in range(
+                            band * rows_per_band, (band + 1) * rows_per_band
+                        )
+                    ],
                 ),
                 hash_mode,
-            ).alias("bucket")
+            ).alias("bucket"),
         )
-    )
+        for band in range(bands)
+    ]
+    return wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def minhash_lsh_pairs(
