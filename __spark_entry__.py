@@ -1235,6 +1235,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.element_at("last_doc_ids", -1).cast("long").alias("last_doc"),
         )
 
+    def index_purged(spark, sf_dir):
+        # physical deletion (r6): purge doc_id % 7 == 3 from the
+        # chunked index — untouched chunks take the one-varbyte
+        # first-gap rebase, overlapping chunks decode/filter/re-encode,
+        # survivor ids remap dense; the oracle rebuilds the same view
+        # from the surviving corpus with a row_number remap
+        import numpy as _np
+
+        from invertedindexbuilder_spark.operators.index_build import (
+            encode_chunks,
+            merge_chunks,
+            purge_chunks,
+        )
+
+        env = _built(spark, sf_dir)
+        n = int(env["stats"]["n_docs"])
+        deleted = _np.arange(3, n, 7, dtype=_np.int64)
+        chunks = encode_chunks(
+            env["postings"], salt_threshold=64, chunk_blocks=1
+        )
+        merged = merge_chunks(purge_chunks(chunks, deleted))
+        return merged.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.element_at("last_doc_ids", -1).cast("long").alias("last_doc"),
+        )
+
+    def bm25_and_deleted(spark, sf_dir):
+        # logical deletion (tombstones, r6): docs with doc_id % 11 == 5
+        # leave the ranking via exclude_doc_ids; IDF/d_avr stay
+        # as-indexed — same filtered-search semantics as boolean NOT
+        from invertedindexbuilder_spark.operators.query_exec import (
+            topk_bm25,
+        )
+
+        env = _built(spark, sf_dir)
+        tomb = env["docs"].select("doc_id").filter(F.col("doc_id") % 11 == 5)
+        out = topk_bm25(
+            spark, env["index"], env["docs"], env["stats"],
+            "data join", mode="and", k=10, round_digits=5,
+            exclude_doc_ids=tomb,
+        )
+        return out.select("doc_id", "score")
+
     def events_hourly(spark, sf_dir):
         # tumbling time-window aggregate (batch twin of the streaming
         # windowed_event_counts); session tz is pinned UTC so both
@@ -1430,6 +1474,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver row in its debut round without displacing any of the
         # 60 the coverage contract already tracks
         "ann_ivf_stored": ann_ivf_stored,
+        # r6 additions (document deletion): canonical-last again — with
+        # 63 gates the r6 offset is 15, so positions 61/62 sit inside
+        # the 50-row window and both debut with a driver row
+        "index_purged": index_purged,
+        "bm25_and_deleted": bm25_and_deleted,
     }
     return _rotate_gates(canonical)
 
@@ -1551,6 +1600,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_filtered": _bm25_sql(
             [("data", 1), ("join", 1)], "and", 10, extra="doc_id % 3 = 0"
+        ),
+        # tombstones: pure exclusion — stats stay full-corpus, so the
+        # twin is the ordinary BM25 SQL with the deleted ids filtered
+        "bm25_and_deleted": _bm25_sql(
+            [("data", 1), ("join", 1)], "and", 10, extra="doc_id % 11 <> 5"
+        ),
+        # physical purge: the oracle rebuilds the post-purge view from
+        # the surviving corpus — row_number over surviving doc ids IS
+        # the dense remap the purge applies
+        "index_purged": (
+            f"WITH {TOKENIZE_CTE}, surv AS ("
+            "SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 "
+            "AS new_id FROM documents WHERE doc_id % 7 <> 3) "
+            "SELECT term, count(*)::BIGINT AS df, "
+            "max(s.new_id)::BIGINT AS last_doc "
+            "FROM postings p JOIN surv s ON s.doc_id = p.doc_id "
+            "GROUP BY term"
         ),
         # chunked serving must produce the SAME answers as the merged
         # index — the oracle is the ordinary BM25 twin

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from invertedindexbuilder_spark import BLOCK_SIZE
 from invertedindexbuilder_spark.functions.compress import (
+    decode_posting_list,
     encode_posting_list,
     full_block_counts,
     vb_byte_lengths,
@@ -559,6 +560,113 @@ def compact_chunks(
         heavy=heavy,
     )
     return old_chunks.select(*delta.columns).unionByName(delta)
+
+
+def purge_chunks(chunks: DataFrame, deleted_ids: np.ndarray) -> DataFrame:
+    """Physically remove a set of doc ids from a chunked index and
+    remap the survivors onto the dense range ``0..n_new-1`` (new_id =
+    old_id − #deleted below it) — the id-space contract compact() and
+    merge_builds() rely on stays intact after a purge.
+
+    Work is O(index), never O(corpus): nothing is re-tokenized.  Two
+    per-chunk cases, decided from chunk METADATA only:
+
+    - no deleted id falls inside ``(first_doc_id, last_doc]``: every
+      internal gap is unchanged and the whole id block shifts down by
+      ``#deleted < first_doc_id`` — rewrite ONE varbyte (the same
+      first-gap patch as :func:`shift_chunks`, here with a negative
+      offset).  Deletions clustered in id space (a bad shard, a source
+      takedown, a time range under the arrival-order id contract) leave
+      almost every chunk on this path.
+    - otherwise: decode, drop deleted postings, remap, re-encode — the
+      term's canonical block layout for the surviving postings.  A
+      chunk whose postings are ALL deleted drops out entirely.
+
+    ``deleted_ids`` is broadcast as one sorted int64 array (8 bytes/id;
+    callers cap it — plans/deletes.purge_deletes guards the size), so
+    classification is two numpy searchsorteds per chunk and membership
+    is a vectorized searchsorted per re-encoded chunk.  Uniform random
+    deletions degrade gracefully to ~every chunk re-encoding, which is
+    still the cost of an index rewrite, not a corpus rebuild —
+    tokenization dominates a real build (BENCH/SCALE.md).
+    """
+    deleted = np.unique(np.asarray(deleted_ids, dtype=np.int64))
+    if len(deleted) == 0:
+        return chunks
+    cols = list(INDEX_CHUNK.fieldNames())
+    bc = chunks.sparkSession.sparkContext.broadcast(deleted)
+
+    def rewrite(batches):
+        dele = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in cols}
+            for r in pdf.itertuples(index=False):
+                first = int(r.first_doc_id)
+                last = int(r.last_doc_ids[-1])
+                below = int(np.searchsorted(dele, first))
+                inside = int(np.searchsorted(dele, last, side="right")) - below
+                # deleted == first counts as "inside" (the chunk's base
+                # doc itself may be tombstoned), so classify on [first,
+                # last], not (first, last]
+                if inside == 0:
+                    if below == 0:
+                        row_vals = {c: getattr(r, c) for c in cols}
+                    else:
+                        old_len = int(vb_byte_lengths(np.array([first]))[0])
+                        patched = vb_encode(
+                            np.array([first - below], dtype=np.int64)
+                        )
+                        bb = [int(x) for x in r.block_bytes]
+                        bb[0] += len(patched) - old_len
+                        row_vals = {
+                            "term": r.term,
+                            "salt": int(r.salt),
+                            "first_doc_id": first - below,
+                            "df": int(r.df),
+                            "last_doc_ids": [
+                                int(x) - below for x in r.last_doc_ids
+                            ],
+                            "block_bytes": bb,
+                            "block_counts": [int(x) for x in r.block_counts],
+                            "max_tf": [int(x) for x in r.max_tf],
+                            "payload": patched + bytes(r.payload)[old_len:],
+                        }
+                else:
+                    docs, tfs = decode_posting_list(
+                        bytes(r.payload),
+                        int(r.df),
+                        np.asarray(r.block_bytes),
+                        block_counts=np.asarray(r.block_counts),
+                    )
+                    pos = np.searchsorted(dele, docs)
+                    keep = (pos >= len(dele)) | (dele[np.minimum(pos, len(dele) - 1)] != docs)
+                    docs = docs[keep]
+                    if not len(docs):
+                        continue
+                    tfs = tfs[keep]
+                    docs = docs - np.searchsorted(dele, docs)
+                    lastv, sizes, mtf, payload = encode_posting_list(docs, tfs)
+                    row_vals = {
+                        "term": r.term,
+                        "salt": int(r.salt),
+                        "first_doc_id": int(docs[0]),
+                        "df": int(len(docs)),
+                        "last_doc_ids": lastv.tolist(),
+                        "block_bytes": [int(x) for x in sizes],
+                        "block_counts": [
+                            int(x) for x in full_block_counts(len(docs))
+                        ],
+                        "max_tf": [int(x) for x in mtf],
+                        "payload": payload,
+                    }
+                for c in cols:
+                    out[c].append(row_vals[c])
+            if out["term"]:
+                yield pd.DataFrame(out)
+
+    return chunks.select(*cols).mapInPandas(rewrite, schema=INDEX_CHUNK)
 
 
 def build_index(

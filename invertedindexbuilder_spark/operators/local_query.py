@@ -110,6 +110,17 @@ class LocalIndex:
         self.d_avr = float(s["sum_doc_len"]) / (self.n_docs - 1)
         self.min_doc_len = int(lens.min()) if lens.size else 0
         self.blocks_decoded = 0  # instrumentation
+        # logical deletions (plans/deletes.delete_docs): loaded once per
+        # session like everything else; topk_local applies them by
+        # default so a tombstoned doc can never surface from any CLI
+        self.tombstones: np.ndarray | None = None
+        tomb_path = _p("deleted_docs")
+        if os.path.exists(tomb_path):
+            tt = pq.read_table(tomb_path, columns=["doc_id"])
+            if tt.num_rows:
+                self.tombstones = np.sort(
+                    np.asarray(tt.column("doc_id"), dtype=np.int64)
+                )
 
     # -- lexicon lookup (Q2 + D5) --
     def lookup(self, term: str, strict: bool = True) -> dict | None:
@@ -184,14 +195,33 @@ def _block_ubs(li: LocalIndex, row: dict) -> np.ndarray:
     return t_idf * (BM25_K1 + 1.0) * mt / denom
 
 
+def _drop_excluded(d: np.ndarray, t: np.ndarray, ex: np.ndarray | None):
+    """Filter (doc_ids, tfs) against a SORTED excluded-id array at the
+    decode site — applied before any score enters the accumulator, so
+    the heavy-path theta pruning never sees an excluded doc and stays
+    sound (the same reason the Spark paths force or_prune off)."""
+    if ex is None or not d.size:
+        return d, t
+    pos = np.searchsorted(ex, d)
+    hit = (pos < ex.size) & (ex[np.minimum(pos, ex.size - 1)] == d)
+    if not hit.any():
+        return d, t
+    return d[~hit], t[~hit]
+
+
 def topk_local(
     li: LocalIndex,
     query: str,
     mode: str = "and",
     k: int = 10,
     strict: bool = True,
+    apply_tombstones: bool = True,
 ) -> list[tuple[int, float]]:
-    """Exact top-k (doc_id, score), descending; ties to smaller doc_id."""
+    """Exact top-k (doc_id, score), descending; ties to smaller doc_id.
+
+    ``apply_tombstones``: exclude logically-deleted docs (the index's
+    ``deleted_docs`` table, plans/deletes.py); stats stay as-indexed —
+    identical semantics to the Spark paths' ``exclude_doc_ids``."""
     terms = tokenize_query(query)
     weights: dict[str, int] = {}
     for t in terms:
@@ -208,10 +238,11 @@ def topk_local(
         return []
     matched.sort(key=lambda rw: rw[0]["df"])  # shortest-list-first (Q5)
 
+    ex = li.tombstones if apply_tombstones else None
     if mode == "and":
-        return _conjunctive(li, matched, k)
+        return _conjunctive(li, matched, k, ex)
     if mode == "or":
-        return _disjunctive(li, matched, k)
+        return _disjunctive(li, matched, k, ex)
     raise ValueError(mode)
 
 
@@ -219,10 +250,11 @@ def _topk_sorted(scores: dict[int, float], k: int) -> list[tuple[int, float]]:
     return sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
 
 
-def _conjunctive(li, matched, k):
+def _conjunctive(li, matched, k, ex=None):
     # leapfrog, set-at-a-time: rarest list seeds the candidates; each
     # further list is decoded only where its blocks overlap them
     cand, _ = li.decode_all(matched[0][0])
+    cand, _unused = _drop_excluded(cand, cand, ex)
     for row, _w in matched[1:]:
         if cand.size == 0:
             return []
@@ -241,13 +273,14 @@ def _conjunctive(li, matched, k):
     return [(int(cand[i]), float(scores[i])) for i in order]
 
 
-def _disjunctive(li, matched, k):
+def _disjunctive(li, matched, k, ex=None):
     scores: dict[int, float] = {}
     light = [(r, w) for r, w in matched if r["df"] <= HEAVY_QUERY_DF]
     heavy = [(r, w) for r, w in matched if r["df"] > HEAVY_QUERY_DF]
 
     for row, w in light:
         d, t = li.decode_all(row)
+        d, t = _drop_excluded(d, t, ex)
         contrib = w * bm25(t, row["df"], li.doc_len[d], li.n_docs, li.d_avr)
         for doc, c in zip(d.tolist(), contrib.tolist()):
             scores[doc] = scores.get(doc, 0.0) + c
@@ -284,6 +317,7 @@ def _disjunctive(li, matched, k):
             grew = True
             decoded[i].update(want)
             d, t = li._decode_blocks(row, np.array(want, dtype=np.int64))
+            d, t = _drop_excluded(d, t, ex)
             contrib = w * bm25(t, row["df"], li.doc_len[d], li.n_docs, li.d_avr)
             for doc, c in zip(d.tolist(), contrib.tolist()):
                 scores[doc] = scores.get(doc, 0.0) + c

@@ -591,6 +591,7 @@ def topk_bm25(
     counters: dict | None = None,
     exclude: str | None = None,
     doc_filter=None,
+    exclude_doc_ids: DataFrame | None = None,
 ) -> DataFrame:
     """One top-k query -> DataFrame(doc_id, score) ordered desc.
 
@@ -610,21 +611,30 @@ def topk_bm25(
     ``doc_filter``: Column predicate over ``docs`` columns (faceted
     search); the inner doc_len join applies it before scoring, and at
     scale it pushes into the docs-table scan.
+    ``exclude_doc_ids``: (doc_id) frame removed from the ranking the
+    same way as NOT-terms — the logical-deletion (tombstone) surface
+    (plans/deletes.py); stats stay as-indexed until a physical purge.
     """
     terms = tokenize_query(query)
     matched = lookup_index_rows(index, terms, strict=strict)
     if doc_filter is not None:
         docs = docs.filter(doc_filter)
-    exclude_docs = None
-    if exclude:
+    exclude_docs = exclude_doc_ids
+    if exclude or exclude_docs is not None:
         # BMW OR-pruning is UNSOUND under exclusion: theta seeds from
         # light-list candidates INCLUDING soon-to-be-excluded docs, so
         # an inflated theta could prune heavy blocks holding docs that
         # belong in the post-exclusion top-k.  Force the (exact) full
         # decode; AND-mode pruning is score-free and stays on.
         or_prune = False
+    if exclude:
         ex_rows = lookup_index_rows(index, tokenize_query(exclude), strict=strict)
-        exclude_docs = decode_matched_rows(ex_rows).select("doc_id").distinct()
+        term_ex = decode_matched_rows(ex_rows).select("doc_id").distinct()
+        exclude_docs = (
+            term_ex
+            if exclude_docs is None
+            else exclude_docs.select("doc_id").unionByName(term_ex).distinct()
+        )
 
     n_docs = int(stats["n_docs"])
     davr = float(stats["sum_doc_len"]) / float(n_docs - 1)  # reference N-1 quirk
@@ -793,6 +803,7 @@ def topk_bm25_chunked(
     counters: dict | None = None,
     exclude: str | None = None,
     doc_filter=None,
+    exclude_doc_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 served directly from the chunked index (INDEX_CHUNK).
 
@@ -806,22 +817,29 @@ def topk_bm25_chunked(
     precisely so heavy lists decode incrementally (model_support.c).
 
     ``exclude`` / ``doc_filter``: same boolean-NOT and faceted-filter
-    semantics as :func:`topk_bm25`.
+    semantics as :func:`topk_bm25`.  ``exclude_doc_ids``: tombstone
+    frame, same semantics as in :func:`topk_bm25`.
     """
     terms = tokenize_query(query)
     matched, winners = _lookup_chunk_meta(chunks, terms, strict=strict)
     if doc_filter is not None:
         docs = docs.filter(doc_filter)
-    exclude_docs = None
-    if exclude:
+    exclude_docs = exclude_doc_ids
+    if exclude or exclude_docs is not None:
         # BMW OR-pruning is UNSOUND under exclusion: theta seeds from
         # light-list candidates INCLUDING soon-to-be-excluded docs, so
         # an inflated theta could prune heavy blocks holding docs that
         # belong in the post-exclusion top-k.  Force the (exact) full
         # decode; AND-mode pruning is score-free and stays on.
         or_prune = False
+    if exclude:
         ex_rows = lookup_chunk_rows(chunks, tokenize_query(exclude), strict=strict)
-        exclude_docs = decode_matched_rows(ex_rows).select("doc_id").distinct()
+        term_ex = decode_matched_rows(ex_rows).select("doc_id").distinct()
+        exclude_docs = (
+            term_ex
+            if exclude_docs is None
+            else exclude_docs.select("doc_id").unionByName(term_ex).distinct()
+        )
 
     n_docs = int(stats["n_docs"])
     davr = float(stats["sum_doc_len"]) / float(n_docs - 1)

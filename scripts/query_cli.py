@@ -57,6 +57,9 @@ def main() -> int:
                     help="also print a best-window snippet per result, "
                          "re-reading content from the source table "
                          "(reference Q10, cleanly re-specified)")
+    ap.add_argument("--ignore-tombstones", action="store_true",
+                    help="rank logically-deleted docs anyway (tombstones "
+                         "from delete_docs are applied by default)")
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("terms", nargs="*")
     args = ap.parse_args()
@@ -74,11 +77,14 @@ def main() -> int:
             topk_local,
         )
 
+        from invertedindexbuilder_spark.catalog import resolve_table_path
+
         li = LocalIndex(args.index)
+        docs_path = resolve_table_path(args.index, "docs")
         urls = {
             r["doc_id"]: r["url"]
             for r in pq.read_table(
-                f"{args.index}/docs", columns=["doc_id", "url"]
+                docs_path, columns=["doc_id", "url"]
             ).to_pylist()
         }
 
@@ -89,7 +95,7 @@ def main() -> int:
             key_by_id = {
                 r["doc_id"]: (r["repo"], r["path"], r["commit"])
                 for r in pq.read_table(
-                    f"{args.index}/docs",
+                    docs_path,
                     columns=["doc_id", "repo", "path", "commit"],
                 ).to_pylist()
             }
@@ -97,7 +103,8 @@ def main() -> int:
         def run(query: str, mode: str, k: int) -> None:
             t0 = time.time()
             res = topk_local(li, query, mode=mode, k=k,
-                             strict=not args.no_strict)
+                             strict=not args.no_strict,
+                             apply_tombstones=not args.ignore_tombstones)
             dt = (time.time() - t0) * 1000
             for doc_id, score in res:
                 print(f"{score:.6f}\t{doc_id}\t{urls.get(doc_id, '')}")
@@ -193,6 +200,15 @@ def _spark_runner(args):
     from pyspark.sql import functions as F
 
     doc_filter = F.expr(args.doc_filter) if args.doc_filter else None
+    tombstones = None
+    if not args.ignore_tombstones:
+        from invertedindexbuilder_spark.plans.deletes import load_tombstones
+
+        tombstones = load_tombstones(spark, args.index)
+        if tombstones is not None:
+            tombstones = tombstones.cache()
+            n_tomb = tombstones.count()
+            print(f"# excluding {n_tomb} tombstoned docs", file=sys.stderr)
 
     def run(query: str, mode: str, k: int) -> None:
         t0 = time.time()
@@ -208,7 +224,8 @@ def _spark_runner(args):
         res = exec_fn(
             spark, index, docs, stats, query,
             mode=mode, k=k, strict=not args.no_strict,
-            exclude=args.exclude, doc_filter=doc_filter, **kw,
+            exclude=args.exclude, doc_filter=doc_filter,
+            exclude_doc_ids=tombstones, **kw,
         )
         rows = res.join(docs.select("doc_id", "url"), "doc_id").orderBy(
             res["score"].desc(), "doc_id"
