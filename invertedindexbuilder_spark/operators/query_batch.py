@@ -83,6 +83,7 @@ def topk_bm25_batch(
     strict: bool = True,
     round_digits: int | None = None,
     exclude_col: str | None = None,
+    exclude_doc_ids: DataFrame | None = None,
 ) -> DataFrame:
     """All queries at once -> DataFrame(query_id, doc_id, score, rank).
 
@@ -90,6 +91,10 @@ def topk_bm25_batch(
     separated; null/empty = none) — docs containing any of a query's
     excluded terms leave THAT query's ranking.  Excluded keys decode
     once for the whole batch, like positive keys.
+
+    ``exclude_doc_ids``: (doc_id) frame removed from EVERY query's
+    ranking — the tombstone surface (plans/deletes.py); stats stay
+    as-indexed, matching the single-query paths.
 
     ``index`` may be the merged table OR the chunked table
     (INDEX_CHUNK): chunk rows decode independently and the full-term
@@ -194,6 +199,10 @@ def topk_bm25_batch(
                 .distinct()
             )
             agg = agg.join(ex_pairs, ["query_id", "doc_id"], "left_anti")
+    if exclude_doc_ids is not None:
+        agg = agg.join(
+            exclude_doc_ids.select("doc_id"), "doc_id", "left_anti"
+        )
     if round_digits is not None:
         agg = agg.withColumn("score", F.round(F.col("score"), round_digits))
     rank_w = Window.partitionBy("query_id").orderBy(

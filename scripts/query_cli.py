@@ -161,12 +161,18 @@ def _spark_batch(args) -> int:
     qdf = spark.createDataFrame(
         list(enumerate(texts)), "query_id long, text string"
     )
+    tombstones = None
+    if not args.ignore_tombstones:
+        from invertedindexbuilder_spark.plans.deletes import load_tombstones
+
+        tombstones = load_tombstones(spark, args.index)
     t0 = time.time()
     rows = topk_bm25_batch(
         spark, cat.read(table),
         cat.read("docs").select("doc_id", "doc_len"),
         load_stats(spark, args.index), qdf,
         mode=args.mode, k=args.k, strict=not args.no_strict,
+        exclude_doc_ids=tombstones,
     ).orderBy("query_id", "rank").collect()
     dt = (time.time() - t0) * 1000
     for r in rows:

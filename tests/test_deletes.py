@@ -122,6 +122,37 @@ def test_tombstoned_docs_leave_every_surface(spark, tmp_out):
     assert {d for d, _ in raw} == {r["doc_id"] for r in base}
 
 
+def test_batch_serving_excludes_tombstones(spark, tmp_out):
+    from invertedindexbuilder_spark.operators.query_batch import (
+        topk_bm25_batch,
+    )
+
+    build(spark, synthetic_docs_src(spark, 150), tmp_out)
+    cat = Catalog(spark, tmp_out)
+    stats = load_stats(spark, tmp_out)
+    index = cat.read("index")
+    docs = cat.read("docs").select("doc_id", "doc_len")
+    qdf = spark.createDataFrame(
+        [(0, "alpha common"), (1, "beta common")],
+        "query_id long, text string",
+    )
+    base = topk_bm25_batch(
+        spark, index, docs, stats, qdf, mode="or", k=150
+    ).collect()
+    victims = sorted({r["doc_id"] for r in base})[:4]
+    delete_docs(spark, tmp_out, victims)
+    tomb = load_tombstones(spark, tmp_out)
+    res = topk_bm25_batch(
+        spark, index, docs, stats, qdf, mode="or", k=150,
+        exclude_doc_ids=tomb,
+    ).collect()
+    assert not ({r["doc_id"] for r in res} & set(victims))
+    # exclusion-only: surviving (query, doc) scores unchanged
+    base_s = {(r["query_id"], r["doc_id"]): r["score"] for r in base}
+    for r in res:
+        assert r["score"] == pytest.approx(base_s[(r["query_id"], r["doc_id"])])
+
+
 def test_delete_docs_idempotent_and_validated(spark, tmp_out):
     build(spark, synthetic_docs_src(spark, 50), tmp_out)
     assert delete_docs(spark, tmp_out, [1, 2]) == {"n_tombstones": 2}
