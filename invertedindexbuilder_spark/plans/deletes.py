@@ -181,18 +181,18 @@ def purge_deletes(
     t0 = time.time()
     stats = load_stats(spark, out_root)
     n_old = int(stats["n_docs"])
-    deleted = np.sort(
-        np.fromiter(
-            (r["doc_id"] for r in tomb.select("doc_id").collect()),
-            dtype=np.int64,
-        )
-    )
-    if len(deleted) > MAX_PURGE_IDS:
+    n_tomb = int(tomb.count())
+    if n_tomb > MAX_PURGE_IDS:
         raise ValueError(
-            f"{len(deleted)} tombstoned ids exceed the per-purge broadcast "
+            f"{n_tomb} tombstoned ids exceed the per-purge broadcast "
             f"cap ({MAX_PURGE_IDS}); purge in multiple passes (delete + "
             "purge a subset at a time)"
         )
+    # Arrow path, not collect(): at the 64M-id cap, per-Row
+    # materialization alone would dominate the purge's driver time
+    deleted = np.sort(
+        tomb.select("doc_id").toPandas()["doc_id"].to_numpy(np.int64)
+    )
     n_del = len(deleted)
     bc = spark.sparkContext.broadcast(deleted)
 

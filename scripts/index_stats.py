@@ -56,7 +56,7 @@ def build_report(spark, index_root: str, top: int = 10) -> dict:
             report["compact_journal"] = m["compact_journal"]
 
     tables = ["docs", "index", "index_chunks", "search_stats",
-              *SEARCH_TABLES]
+              "deleted_docs", *SEARCH_TABLES]
     footprints = {}
     for t in tables:
         p = cat.path(t)
@@ -66,6 +66,11 @@ def build_report(spark, index_root: str, top: int = 10) -> dict:
                 "generation": os.path.basename(p),
             }
     report["tables"] = footprints
+
+    # pending logical deletions (plans/deletes.py): serving excludes
+    # these now; a purge folds them into the physical artifacts
+    if "deleted_docs" in footprints:
+        report["n_tombstones"] = int(cat.read("deleted_docs").count())
 
     # posting-list distribution from whichever index artifact exists —
     # chunk rows aggregate to full terms first so both layouts report

@@ -24,7 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="parquet with (doc_id, text)")
+    ap.add_argument("--input", help="parquet with (doc_id, text); optional "
+                    "with --search-index except in substring mode (the "
+                    "trigram index yields candidates, the verify scan "
+                    "still reads the text)")
     ap.add_argument("--mode", required=True,
                     choices=["phrase", "substring", "fuzzy", "prefix",
                              "subtoken", "related"])
@@ -35,11 +38,21 @@ def main() -> int:
                          "serve from the stored tables instead of "
                          "re-deriving them from --input")
     ap.add_argument("--max-dist", type=int, default=1, help="fuzzy edit distance")
+    ap.add_argument("--ignore-tombstones", action="store_true",
+                    help="with --search-index: return logically-deleted "
+                         "docs anyway (phrase/substring exclude them by "
+                         "default)")
     ap.add_argument("--limit", type=int, default=20)
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("query", nargs="+")
     args = ap.parse_args()
     query = " ".join(args.query)
+    if args.input is None and not (
+        args.search_index and args.mode in
+        ("phrase", "fuzzy", "prefix", "related")
+    ) and args.mode != "subtoken":
+        ap.error("--input is required unless --search-index serves the "
+                 "mode fully (phrase/fuzzy/prefix/related)")
 
     from pyspark.sql import functions as F
 
@@ -49,20 +62,22 @@ def main() -> int:
                       shuffle_partitions=max(args.cores, 8))
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = spark.read.parquet(args.input)
-    if "text" not in docs.columns and "content" in docs.columns:
-        docs = docs.withColumn("text", F.col("content"))
-    if "doc_id" not in docs.columns:
-        # docs_src shape: deterministic key-order ids, same as the build
-        from invertedindexbuilder_spark.operators.docids import (
-            SORT_KEYS,
-            attach_doc_ids,
-            doc_id_map,
-        )
+    docs = None
+    if args.input is not None:
+        docs = spark.read.parquet(args.input)
+        if "text" not in docs.columns and "content" in docs.columns:
+            docs = docs.withColumn("text", F.col("content"))
+        if "doc_id" not in docs.columns:
+            # docs_src shape: deterministic key-order ids, same as the build
+            from invertedindexbuilder_spark.operators.docids import (
+                SORT_KEYS,
+                attach_doc_ids,
+                doc_id_map,
+            )
 
-        ids, total = doc_id_map(docs.select(*SORT_KEYS))
-        docs = attach_doc_ids(docs, ids, total)
-    docs = docs.select("doc_id", "text")
+            ids, total = doc_id_map(docs.select(*SORT_KEYS))
+            docs = attach_doc_ids(docs, ids, total)
+        docs = docs.select("doc_id", "text")
 
     from invertedindexbuilder_spark.operators.dedup import tokens_expr
     from invertedindexbuilder_spark.operators.textsearch import (
@@ -124,6 +139,20 @@ def main() -> int:
         print(json.dumps({"identifier": query, "subtokens": row["parts"]}))
         spark.stop()
         return 0
+
+    # doc-level modes exclude tombstoned docs when serving from a build
+    # catalog (term-level modes keep as-indexed dfs, same semantics as
+    # BM25 under tombstones)
+    if (
+        idx is not None
+        and not args.ignore_tombstones
+        and args.mode in ("phrase", "substring")
+    ):
+        from invertedindexbuilder_spark.plans.deletes import load_tombstones
+
+        tomb = load_tombstones(spark, args.search_index)
+        if tomb is not None:
+            out = out.join(tomb.select("doc_id"), "doc_id", "left_anti")
 
     for r in out.limit(args.limit).collect():
         print(json.dumps(r.asDict()))

@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 from invertedindexbuilder_spark.catalog import Catalog
 from invertedindexbuilder_spark.functions.compress import decode_posting_list
 from invertedindexbuilder_spark.operators.index_build import (
-    build_index,
     encode_chunks,
     merge_chunks,
     purge_chunks,
