@@ -147,9 +147,14 @@ def main() -> int:
         # warm both paths once (python workers / codegen) outside the clock
         run(or_query, "or", or_prune=True)()
         run(or_query, "or", or_prune=False)()
+        # host-speed canary (bench.py's fixed sha256 loop) stamped per
+        # size so crossover re-measurements are host-normalizable
+        from bench import _cpu_canary
+
         row = {
             "n_docs": n,
             "heavies": args.heavies,
+            "canary_sec": _cpu_canary(),
             "or_bmw": timed(run(or_query, "or", or_prune=True), args.reps),
             "or_full": timed(run(or_query, "or", or_prune=False), args.reps),
             "and_prune": timed(
