@@ -1,0 +1,165 @@
+"""BM25 serving gates: conjunctive/disjunctive DAAT, chunked serving,
+batch serving, boolean NOT, faceted filters, and tombstone exclusion
+(SURVEY §2.1 rows Q2-Q9 + the r3-r6 serving extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .shared import (
+    BATCH_AND_QUERIES,
+    BATCH_OR_QUERIES,
+    bm25_batch_sql,
+    bm25_chunked_query,
+    bm25_query,
+    bm25_sql,
+    built,
+    chunked,
+)
+
+
+def queries() -> dict:
+    def bm25_and(spark, sf_dir):
+        return bm25_query(spark, sf_dir, [("data", 1), ("join", 1)], "and", 10)
+
+    def bm25_or(spark, sf_dir):
+        return bm25_query(
+            spark, sf_dir, [("spark", 1), ("merge", 1), ("vector", 1)], "or", 10
+        )
+
+    def bm25_or_dup(spark, sf_dir):
+        return bm25_query(spark, sf_dir, [("data", 2), ("window", 1)], "or", 10)
+
+    def bm25_and_unknown(spark, sf_dir):
+        return bm25_query(
+            spark, sf_dir, [("filter", 1), ("zzznotaterm", 1)], "and", 10
+        )
+
+    def bm25_and_chunked(spark, sf_dir):
+        return bm25_chunked_query(
+            spark, sf_dir, [("data", 1), ("spark", 1)], "and", 10
+        )
+
+    def bm25_or_chunked(spark, sf_dir):
+        return bm25_chunked_query(
+            spark, sf_dir, [("merge", 1), ("filter", 1), ("data", 2)], "or", 10
+        )
+
+    def bm25_batch_and(spark, sf_dir):
+        # one job answers a TABLE of queries (operators/query_batch):
+        # each matched index row decodes once however many queries
+        # share the term; per-query top-k is a window
+        from invertedindexbuilder_spark.operators.query_batch import (
+            topk_bm25_batch,
+        )
+
+        env = built(spark, sf_dir)
+        qdf = spark.createDataFrame(
+            [(q, " ".join(t for t, w in terms for _ in range(w)))
+             for q, terms in BATCH_AND_QUERIES],
+            "query_id long, text string",
+        )
+        return topk_bm25_batch(
+            spark, env["index"], env["docs"], env["stats"], qdf,
+            mode="and", k=10, round_digits=5,
+        )
+
+    def bm25_batch_or(spark, sf_dir):
+        # the same batch operator against the CHUNKED serving table
+        from invertedindexbuilder_spark.operators.query_batch import (
+            topk_bm25_batch,
+        )
+
+        env = built(spark, sf_dir)
+        chunks = chunked(spark, sf_dir)
+        qdf = spark.createDataFrame(
+            [(q, " ".join(t for t, w in terms for _ in range(w)))
+             for q, terms in BATCH_OR_QUERIES],
+            "query_id long, text string",
+        )
+        return topk_bm25_batch(
+            spark, chunks, env["docs"], env["stats"], qdf,
+            mode="or", k=10, round_digits=5,
+        )
+
+    def bm25_and_not(spark, sf_dir):
+        # boolean NOT: docs containing the excluded term leave the
+        # ranking (anti-join after the per-doc aggregate); IDF/d_avr
+        # stay full-corpus — classic filtered-search semantics
+        return bm25_query(
+            spark, sf_dir, [("data", 1), ("join", 1)], "and", 10,
+            exclude="window",
+        )
+
+    def bm25_filtered(spark, sf_dir):
+        # faceted search: a docs-side predicate restricts scoring via
+        # the inner doc_len join (pushes into the docs scan at scale)
+        return bm25_query(
+            spark, sf_dir, [("data", 1), ("join", 1)], "and", 10,
+            doc_filter=F.col("doc_id") % 3 == 0,
+        )
+
+    def bm25_and_deleted(spark, sf_dir):
+        # logical deletion (tombstones, r6): docs with doc_id % 11 == 5
+        # leave the ranking via exclude_doc_ids; IDF/d_avr stay
+        # as-indexed — same filtered-search semantics as boolean NOT
+        from invertedindexbuilder_spark.operators.query_exec import (
+            topk_bm25,
+        )
+
+        env = built(spark, sf_dir)
+        tomb = env["docs"].select("doc_id").filter(F.col("doc_id") % 11 == 5)
+        out = topk_bm25(
+            spark, env["index"], env["docs"], env["stats"],
+            "data join", mode="and", k=10, round_digits=5,
+            exclude_doc_ids=tomb,
+        )
+        return out.select("doc_id", "score")
+
+    return {
+        "bm25_and": bm25_and,
+        "bm25_or": bm25_or,
+        "bm25_or_dup": bm25_or_dup,
+        "bm25_and_unknown": bm25_and_unknown,
+        "bm25_and_chunked": bm25_and_chunked,
+        "bm25_or_chunked": bm25_or_chunked,
+        "bm25_batch_and": bm25_batch_and,
+        "bm25_batch_or": bm25_batch_or,
+        "bm25_and_not": bm25_and_not,
+        "bm25_filtered": bm25_filtered,
+        "bm25_and_deleted": bm25_and_deleted,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "bm25_and": bm25_sql([("data", 1), ("join", 1)], "and", 10),
+        "bm25_or": bm25_sql([("spark", 1), ("merge", 1), ("vector", 1)], "or", 10),
+        "bm25_or_dup": bm25_sql([("data", 2), ("window", 1)], "or", 10),
+        "bm25_and_unknown": bm25_sql(
+            [("filter", 1), ("zzznotaterm", 1)], "and", 10
+        ),
+        "bm25_and_not": bm25_sql(
+            [("data", 1), ("join", 1)], "and", 10,
+            extra=(
+                "doc_id NOT IN (SELECT p.doc_id FROM postings p "
+                "WHERE p.term = 'window')"
+            ),
+        ),
+        "bm25_filtered": bm25_sql(
+            [("data", 1), ("join", 1)], "and", 10, extra="doc_id % 3 = 0"
+        ),
+        # tombstones: pure exclusion — stats stay full-corpus, so the
+        # twin is the ordinary BM25 SQL with the deleted ids filtered
+        "bm25_and_deleted": bm25_sql(
+            [("data", 1), ("join", 1)], "and", 10, extra="doc_id % 11 <> 5"
+        ),
+        # chunked serving must produce the SAME answers as the merged
+        # index — the oracle is the ordinary BM25 twin
+        "bm25_and_chunked": bm25_sql([("data", 1), ("spark", 1)], "and", 10),
+        "bm25_or_chunked": bm25_sql(
+            [("merge", 1), ("filter", 1), ("data", 2)], "or", 10
+        ),
+        "bm25_batch_and": bm25_batch_sql(BATCH_AND_QUERIES, "and", 10),
+        "bm25_batch_or": bm25_batch_sql(BATCH_OR_QUERIES, "or", 10),
+    }
