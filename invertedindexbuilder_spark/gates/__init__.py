@@ -85,10 +85,13 @@ CANONICAL_ORDER = [
     # displacing any of the 60 the coverage contract already tracks
     "ann_ivf_stored",
     # r6 additions (document deletion): canonical-last again — with
-    # 63 gates the r6 offset is 15, so positions 61/62 sit inside the
-    # 50-row window and both debut with a driver row
+    # 64 gates the r6 offset is (64-50)*6 % 64 = 20, so the window
+    # covers canonical indices 20..63 + 0..5: all three r6 debuts
+    # (61/62/63) land a driver row, and simhash_pairs (49, the gate
+    # the r5 step missed twice) is back inside the window
     "index_purged",
     "bm25_and_deleted",
+    "search_dfs_purged",
 ]
 
 

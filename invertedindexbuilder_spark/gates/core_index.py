@@ -188,6 +188,97 @@ def queries() -> dict:
             F.element_at("last_doc_ids", -1).cast("long").alias("last_doc"),
         )
 
+    def _make_min_catalog(spark, d, root):
+        """Smallest catalog purge_deletes can run against: docs (with
+        doc_len), chunk-only index, stats — skipping build()'s
+        fingerprint/manifest/URL phases whose fixed job count dominates
+        at gate scale."""
+        from invertedindexbuilder_spark.catalog import Catalog
+        from invertedindexbuilder_spark.operators.index_build import (
+            encode_chunks,
+        )
+        from invertedindexbuilder_spark.operators.postings import (
+            build_postings,
+        )
+        from invertedindexbuilder_spark.plans.build import _write_stats
+
+        cat = Catalog(spark, root)
+        docs = d.select(
+            "doc_id",
+            F.col("text").alias("content"),
+            F.length("text").cast("long").alias("doc_len"),
+        ).coalesce(1)
+        cat.write(docs.drop("content"), "docs")
+        cat.write(
+            encode_chunks(
+                build_postings(docs), salt_threshold=64, chunk_blocks=1
+            ).coalesce(1),
+            "index_chunks",
+        )
+        agg = docs.agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("sdl"),
+            F.min("doc_len").alias("mdl"),
+        ).collect()[0]
+        m = (
+            spark.read.parquet(cat.path("index_chunks"))
+            .agg(
+                F.count_distinct("term").alias("terms"),
+                F.sum("df").alias("postings"),
+            )
+            .collect()[0]
+        )
+        _write_stats(
+            spark, cat, int(agg["n"]), int(agg["sdl"]), m, int(agg["mdl"])
+        )
+
+    def search_dfs_purged(spark, sf_dir):
+        # r6 search-table purge: build a full catalog (chunked index +
+        # stored search tables) over doc_id < 120, tombstone
+        # doc_id % 13 == 1, physically purge, and serve the term dfs
+        # from the REWRITTEN stored table; the oracle computes the same
+        # dfs over the surviving slice directly (dfs are
+        # remap-invariant).  localCheckpoint so the result survives
+        # the tmpdir cleanup.
+        import shutil as _sh
+        import tempfile as _tf
+
+        from invertedindexbuilder_spark.plans.build import (
+            build_search_tables,
+            load_search_tables,
+        )
+        from invertedindexbuilder_spark.plans.deletes import (
+            delete_docs,
+            purge_deletes,
+        )
+
+        d = (
+            documents(spark, sf_dir)
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 120)
+        )
+        root = _tf.mkdtemp(prefix="gate_purgeidx_")
+        try:
+            # minimal catalog by hand instead of the full build() —
+            # purge_deletes only reads docs/stats/index_chunks, and the
+            # full build's phase machinery (fingerprint, manifest
+            # resume, URL derivation) cost this gate ~25 s of pure
+            # fixed overhead at 120 docs
+            _make_min_catalog(spark, d, root)
+            build_search_tables(
+                spark, d, root, max_dist=1,
+                collect_counts=False, partition=False,
+            )
+            delete_docs(spark, root, [i for i in range(120) if i % 13 == 1])
+            purge_deletes(spark, root, partition=False)
+            out = (
+                load_search_tables(spark, root)["term_dfs"]
+                .select(F.col("t").alias("term"), "df")
+                .localCheckpoint()
+            )
+        finally:
+            _sh.rmtree(root, ignore_errors=True)
+        return out
+
     return {
         "index_compacted": index_compacted,
         "index_federated": index_federated,
@@ -199,6 +290,7 @@ def queries() -> dict:
         "sample_mod10": sample_mod10,
         "search_dfs_compacted": search_dfs_compacted,
         "index_purged": index_purged,
+        "search_dfs_purged": search_dfs_purged,
     }
 
 
@@ -258,6 +350,14 @@ def oracle_sql() -> dict:
             "SELECT DISTINCT doc_id, unnest(regexp_extract_all("
             "lower(text), '[a-z0-9]+')) AS t FROM documents "
             "WHERE doc_id < 300) GROUP BY t"
+        ),
+        # dfs are remap-invariant, so the purged stored table must
+        # equal the direct dfs over the surviving corpus slice
+        "search_dfs_purged": (
+            "SELECT t AS term, count(*)::BIGINT AS df FROM ("
+            "SELECT DISTINCT doc_id, unnest(regexp_extract_all("
+            "lower(text), '[a-z0-9]+')) AS t FROM documents "
+            "WHERE doc_id < 120 AND doc_id % 13 <> 1) GROUP BY t"
         ),
         "index_compacted": (
             f"WITH {TOKENIZE_CTE} SELECT term, count(*)::BIGINT AS df, "

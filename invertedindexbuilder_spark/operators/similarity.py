@@ -416,6 +416,162 @@ def compact_ann_tables(
             "n_vectors": int(st["n_vectors"]) + int(rng["n"])}
 
 
+ANN_TOMBSTONES = "ann_deleted"
+
+
+def load_ann_tombstones(spark, out_root: str) -> DataFrame | None:
+    """The stored ANN index's live tombstone set, or None."""
+    from invertedindexbuilder_spark.catalog import Catalog
+
+    cat = Catalog(spark, out_root)
+    if not cat.exists(ANN_TOMBSTONES):
+        return None
+    t = cat.read(ANN_TOMBSTONES)
+    return t if t.limit(1).count() else None
+
+
+def delete_ann_vectors(spark, out_root: str, vec_ids, validate: bool = True) -> dict:
+    """Tombstone ``vec_ids`` in the stored ANN index (the ANN twin of
+    plans.deletes.delete_docs): serving excludes them immediately via
+    an anti-join in :func:`ann_topk_stored`; the vectors stay on disk
+    until :func:`purge_ann_deletes`.  Idempotent (distinct-union) and
+    atomic (one generation-pointer flip).  ``validate`` requires every
+    id to exist in the stored table — vec_ids are NOT dense, so the
+    check is a semi-join count, one job."""
+    import re as _re
+    import shutil as _shutil
+    from collections.abc import Iterable as _Iterable
+
+    from invertedindexbuilder_spark.catalog import Catalog
+
+    cat = Catalog(spark, out_root)
+    if isinstance(vec_ids, DataFrame):
+        ids = vec_ids.select(F.col("vec_id").cast("long"))
+    elif isinstance(vec_ids, _Iterable):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in vec_ids], schema="vec_id long"
+        )
+    else:
+        raise TypeError(f"vec_ids must be a DataFrame or iterable, got {type(vec_ids)}")
+    ids = ids.distinct()
+    if validate:
+        n_req = ids.count()
+        n_found = ids.join(
+            cat.read("ann_vectors").select("vec_id"), "vec_id", "left_semi"
+        ).count()
+        if n_found != n_req:
+            raise ValueError(
+                f"{n_req - n_found} of {n_req} vec_ids do not exist in the "
+                "stored ANN index — nothing with those ids to delete"
+            )
+    old = load_ann_tombstones(spark, out_root)
+    if old is not None:
+        ids = old.select("vec_id").unionByName(ids).distinct()
+    referenced = [
+        int(mm.group(1))
+        for v in cat.mappings().values()
+        if (mm := _re.search(r"\.g(\d+)$", v))
+    ]
+    gen = max([*referenced, 0]) + 1
+    phys = f"{ANN_TOMBSTONES}.g{gen}"
+    cat.write(ids, phys)
+    total = int(spark.read.parquet(cat.path(phys)).count())
+    for o in cat.publish({ANN_TOMBSTONES: phys}):
+        _shutil.rmtree(o, ignore_errors=True)
+    return {"n_tombstones": total}
+
+
+def purge_ann_deletes(spark, out_root: str) -> dict:
+    """Physically drop tombstoned vectors and clear the tombstone set.
+
+    O(affected cells), not O(index): the cell partitioning locates
+    every tombstoned row's directory, the surviving rows of ONLY those
+    cells are staged to a temp dir (breaking the read-from/write-to
+    cycle), and a DYNAMIC partition overwrite swaps just those
+    ``cell=N/`` directories — untouched cells are never read or
+    written.  vec_ids are not remapped (no dense-id contract for
+    vectors) and the max_vec_id watermark is kept, so compaction's
+    replay guard still rejects id reuse after a purge.
+
+    Crash posture: the tombstone pointer flips LAST, so serving is
+    correct at every intermediate state (rewritten cells merely lack
+    the deleted rows; un-rewritten cells still have them excluded by
+    the live tombstones), and re-running the purge is idempotent."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    from invertedindexbuilder_spark.catalog import Catalog
+
+    cat = Catalog(spark, out_root)
+    tomb = load_ann_tombstones(spark, out_root)
+    st = cat.read("ann_stats").collect()[0].asDict()
+    if tomb is None:
+        return {"n_purged": 0, "n_vectors": int(st["n_vectors"])}
+    vecs = cat.read("ann_vectors")
+    hit = vecs.join(tomb.select("vec_id"), "vec_id", "left_semi")
+    cells = sorted(int(r["cell"]) for r in hit.select("cell").distinct().collect())
+    n_del = int(hit.count())
+    if cells:
+        vec_path = cat.path("ann_vectors")
+        tmp = vec_path + ".purge_tmp"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        clean = vecs.filter(F.col("cell").isin(cells)).join(
+            tomb.select("vec_id"), "vec_id", "left_anti"
+        )
+        clean.write.partitionBy("cell").parquet(tmp)
+        staged_cells: set[int] = set()
+        if any(
+            f.startswith("cell=") for f in _os.listdir(tmp)
+        ):  # some survivors remain in the affected cells
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            try:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                staged = spark.read.parquet(tmp)
+                staged.write.mode("overwrite").partitionBy("cell").parquet(
+                    vec_path
+                )
+                staged_cells = {
+                    int(r["cell"])
+                    for r in staged.select("cell").distinct().collect()
+                }
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+        # dynamic overwrite only touches partitions present in the
+        # written frame — cells whose every vector was deleted must be
+        # dropped explicitly (incl. the all-cells-emptied case where
+        # the stage holds no partition dirs at all)
+        for c in cells:
+            if c not in staged_cells:
+                _shutil.rmtree(
+                    _os.path.join(vec_path, f"cell={c}"), ignore_errors=True
+                )
+        _shutil.rmtree(tmp, ignore_errors=True)
+    n_new = int(st["n_vectors"]) - n_del
+    referenced = [
+        int(mm.group(1))
+        for v in cat.mappings().values()
+        if (mm := _re.search(r"\.g(\d+)$", v))
+    ]
+    gen = max([*referenced, 0]) + 1
+    stats_phys = f"ann_stats.g{gen}"
+    spark.createDataFrame(
+        [(n_new, int(st["dims"]), bool(st["trained"]), int(st["max_vec_id"]))],
+        "n_vectors long, dims int, trained boolean, max_vec_id long",
+    ).write.mode("overwrite").parquet(_os.path.join(out_root, stats_phys))
+    tomb_phys = f"{ANN_TOMBSTONES}.g{gen}"
+    cat.write(spark.createDataFrame([], schema="vec_id long"), tomb_phys)
+    for o in cat.publish({"ann_stats": stats_phys, ANN_TOMBSTONES: tomb_phys}):
+        _shutil.rmtree(o, ignore_errors=True)
+    return {"n_purged": n_del, "n_vectors": n_new, "cells_rewritten": len(cells)}
+
+
 def ann_topk_stored(
     spark,
     out_root: str,
@@ -444,6 +600,14 @@ def ann_topk_stored(
     cat = Catalog(spark, out_root)
     st = cat.read("ann_stats").collect()[0].asDict()
     vecs = cat.read("ann_vectors")
+    tomb = load_ann_tombstones(spark, out_root)
+    if tomb is not None:
+        # logical deletions (delete_ann_vectors): excluded everywhere —
+        # results AND the query-anchor lookup, so a deleted vector can
+        # neither surface nor be queried by id
+        vecs = vecs.join(
+            F.broadcast(tomb.select("vec_id")), "vec_id", "left_anti"
+        )
 
     if query_vec is None:
         qrow = vecs.filter(F.col(id_col) == query_vec_id).select(

@@ -142,7 +142,8 @@ def purge_deletes(
     spark: SparkSession,
     out_root: str,
     num_partitions: int | None = None,
-    allow_stale_search_tables: bool = False,
+    purge_search_tables: bool = True,
+    partition: bool = True,
 ) -> dict:
     """Physically remove every tombstoned doc from the build at
     ``out_root`` and clear the tombstone set.
@@ -153,9 +154,17 @@ def purge_deletes(
     leaves the previous generation fully live (tombstones still
     applied at query time, so no deleted doc ever resurfaces).
 
-    Stored search tables are keyed by doc_id and would silently serve
-    stale ids after a remap, so their presence fails the purge unless
-    ``allow_stale_search_tables`` is set (rebuild them right after).
+    Stored search tables (build_search_tables) purge in the SAME flip
+    at O(search-table bytes), never O(corpus re-tokenize): the per-doc
+    tables (positional postings, doc-term pairs, char trigrams) drop
+    tombstoned rows and remap survivor ids with the same dense remap
+    as the index; term_dfs recomputes from the rewritten doc_terms;
+    deletion variants depend only on the term STRING, so the
+    survivors' variant rows are exactly the stored rows semi-joined to
+    the surviving vocabulary.  ``purge_search_tables=False`` restores
+    the old refusal (the tables would serve stale ids otherwise);
+    ``partition`` mirrors build_search_tables (False skips the
+    range-boundary sampling jobs at test scale).
     """
     from invertedindexbuilder_spark.operators.index_build import (
         DEFAULT_MERGE_FANIN,
@@ -168,15 +177,15 @@ def purge_deletes(
     tomb = load_tombstones(spark, out_root)
     if tomb is None:
         return {"n_purged": 0, "n_docs": int(load_stats(spark, out_root)["n_docs"])}
-    if not allow_stale_search_tables:
-        stale = [t for t in SEARCH_TABLES if cat.exists(t)]
-        if stale:
-            raise ValueError(
-                f"stored search tables {stale} are keyed by doc_id and "
-                "would serve stale ids after the purge's remap — rebuild "
-                "them afterwards (build_search_tables) and pass "
-                "allow_stale_search_tables=True to proceed"
-            )
+    has_search = [t for t in SEARCH_TABLES if cat.exists(t)]
+    if has_search and not purge_search_tables:
+        raise ValueError(
+            f"stored search tables {has_search} are keyed by doc_id and "
+            "would serve stale ids after the purge's remap — drop "
+            "purge_search_tables=False (the default rewrites them in "
+            "the same atomic flip), or rebuild them afterwards with "
+            "build_search_tables"
+        )
 
     t0 = time.time()
     stats = load_stats(spark, out_root)
@@ -291,6 +300,63 @@ def purge_deletes(
         spark, cat, n_new, int(dagg["sdl"]), m, int(dagg["mdl"]),
         table=stats_phys,
     )
+
+    # ---- search tables: filter + remap per-doc rows, re-derive the
+    # vocabulary tables — O(search-table bytes), no re-tokenize ----
+    if has_search:
+        from invertedindexbuilder_spark.operators.textsearch import term_dfs
+        from invertedindexbuilder_spark.plans.build import _range_sorted
+
+        tomb_ids = tomb.select("doc_id")
+
+        def _drop_and_remap(src):
+            # the equi-join hoists its key to column 0: restore the
+            # stored column order so the rewritten table is
+            # schema-identical to a fresh build
+            return (
+                src.join(tomb_ids, "doc_id", "left_anti")
+                .withColumn("doc_id", remap(F.col("doc_id")))
+                .select(*src.columns)
+            )
+
+        for name, key in (("positional_postings", "term"),
+                          ("char_trigrams", "trigram")):
+            tbl = _drop_and_remap(cat.read(name))
+            phys = f"{name}.g{gen}"
+            cat.write(
+                _range_sorted(tbl, key, "doc_id", partition=partition), phys
+            )
+            publish_map[name] = phys
+        dt = _drop_and_remap(cat.read("doc_terms"))
+        dt_phys = f"doc_terms.g{gen}"
+        cat.write(_range_sorted(dt, "t", "doc_id", partition=partition), dt_phys)
+        publish_map["doc_terms"] = dt_phys
+        dfs_new = term_dfs(spark.read.parquet(cat.path(dt_phys)))
+        dfs_phys = f"term_dfs.g{gen}"
+        cat.write(_range_sorted(dfs_new, "t", partition=partition), dfs_phys)
+        publish_map["term_dfs"] = dfs_phys
+        fv = cat.read("fuzzy_variants").join(
+            spark.read.parquet(cat.path(dfs_phys)).select(
+                F.col("t").alias("term")
+            ),
+            "term",
+            "left_semi",
+        )
+        fv_phys = f"fuzzy_variants.g{gen}"
+        cat.write(
+            _range_sorted(fv, "variant", "term", partition=partition), fv_phys
+        )
+        publish_map["fuzzy_variants"] = fv_phys
+        st = cat.read("search_stats").collect()[0].asDict()
+        ss_phys = f"search_stats.g{gen}"
+        cat.write(
+            spark.createDataFrame(
+                [(n_new, int(st["max_dist"]), n_new - 1)],
+                "n_docs long, max_dist int, max_doc_id long",
+            ),
+            ss_phys,
+        )
+        publish_map["search_stats"] = ss_phys
 
     # ---- clear tombstones in the SAME flip ----
     tomb_phys = f"{TOMBSTONES}.g{gen}"

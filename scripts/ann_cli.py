@@ -13,6 +13,11 @@ table with directory-pruned probes.
 
     # incremental: append new vectors under the frozen cell rule
     python scripts/ann_cli.py --input .../delta.parquet --out /tmp/ann --compact
+
+    # delete vectors: tombstones exclude them from serving instantly;
+    # --purge-deleted rewrites ONLY the affected cell=N/ directories
+    python scripts/ann_cli.py --out /tmp/ann --delete-ids 3,17
+    python scripts/ann_cli.py --out /tmp/ann --purge-deleted
 """
 
 from __future__ import annotations
@@ -37,6 +42,11 @@ def main() -> int:
                     help="train K centroids instead of the sign grid")
     ap.add_argument("--train-sample", type=int, default=100_000,
                     help="vectors used for the k-means fit (lowest ids)")
+    ap.add_argument("--delete-ids",
+                    help="comma-separated vec_ids to tombstone")
+    ap.add_argument("--purge-deleted", action="store_true",
+                    help="physically drop tombstoned vectors (rewrites "
+                         "only the affected cell partitions)")
     ap.add_argument("--query-id", type=int, default=None)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--probes", type=int, default=1)
@@ -50,7 +60,9 @@ def main() -> int:
         ann_topk_stored,
         build_ann_tables,
         compact_ann_tables,
+        delete_ann_vectors,
         kmeans_fit,
+        purge_ann_deletes,
     )
     from invertedindexbuilder_spark.session import get_spark
 
@@ -75,6 +87,12 @@ def main() -> int:
             spark, spark.read.parquet(args.input), args.out
         )
         print(json.dumps(info))
+
+    if args.delete_ids:
+        ids = [int(x) for x in args.delete_ids.split(",") if x.strip()]
+        print(json.dumps(delete_ann_vectors(spark, args.out, ids)))
+    if args.purge_deleted:
+        print(json.dumps(purge_ann_deletes(spark, args.out)))
 
     if args.query_id is not None:
         rows = ann_topk_stored(

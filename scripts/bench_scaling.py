@@ -224,7 +224,21 @@ differ in doc size, so the scaling ratio above is the load-bearing number).
 Per-round operator timings live in `BENCH_r*.json` (driver-run `bench.py`).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    mdpath = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve hand-written sections (e.g. the driver-local latency
+    # table, r6) across rewrites: splice any section between the
+    # scaling block and '## Reference comparison' back in
+    if os.path.exists(mdpath):
+        with open(mdpath) as f:
+            old = f.read()
+        start = old.find("## Driver-local query latency")
+        if start != -1:
+            end = old.find("## Reference comparison", start)
+            kept = old[start:end] if end != -1 else old[start:]
+            md = md.replace(
+                "## Reference comparison", kept + "## Reference comparison", 1
+            )
+    with open(mdpath, "w") as f:
         f.write(md)
     return 0
 

@@ -31,9 +31,10 @@ def main() -> int:
     ap.add_argument("--purge", action="store_true",
                     help="physically remove all tombstoned docs (after "
                          "applying --ids/--ids-parquet, if given)")
-    ap.add_argument("--allow-stale-search-tables", action="store_true",
-                    help="purge even though stored search tables exist "
-                         "(their doc ids go stale — rebuild them after)")
+    ap.add_argument("--skip-search-tables", action="store_true",
+                    help="don't rewrite stored search tables during "
+                         "--purge (refuses if any exist — their doc ids "
+                         "would go stale; rebuild them after)")
     ap.add_argument("--cores", type=int, default=8)
     args = ap.parse_args()
     if not (args.ids or args.ids_parquet or args.purge):
@@ -60,7 +61,7 @@ def main() -> int:
         out.update(
             purge_deletes(
                 spark, args.index,
-                allow_stale_search_tables=args.allow_stale_search_tables,
+                purge_search_tables=not args.skip_search_tables,
             )
         )
     print(json.dumps(out))

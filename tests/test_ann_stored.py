@@ -131,3 +131,118 @@ def test_compact_equals_rebuild_and_replay_raises(spark, embeddings, tmp_path):
 
     st = Catalog(spark, inc).read("ann_stats").collect()[0]
     assert int(st["n_vectors"]) == embeddings.count()
+
+
+# ------------------------------------------------------------ ANN deletion
+
+
+def test_ann_delete_and_purge(spark, embeddings, tmp_path):
+    """Two-phase vector deletion (r6): tombstones exclude instantly
+    from every serving path; purge rewrites ONLY the affected cell
+    partitions and equals a fresh build over the survivors."""
+    from invertedindexbuilder_spark.catalog import Catalog
+    from invertedindexbuilder_spark.operators.similarity import (
+        compact_ann_tables as _compact,
+        delete_ann_vectors,
+        purge_ann_deletes,
+    )
+
+    root = str(tmp_path / "ann_del")
+    build_ann_tables(spark, embeddings, root, dims=4)
+    top = ann_topk_stored(
+        spark, root, query_vec_id=0, k=3, probe_all=True
+    ).collect()
+    dead = [int(top[0]["vec_id"]), int(top[1]["vec_id"])]
+
+    assert delete_ann_vectors(spark, root, dead) == {"n_tombstones": 2}
+    # tombstoned ids vanish from pruned AND exhaustive serving
+    for pa in (False, True):
+        got = {
+            int(r["vec_id"])
+            for r in ann_topk_stored(
+                spark, root, query_vec_id=0, k=10, probe_all=pa
+            ).collect()
+        }
+        assert not (got & set(dead)), pa
+    # a deleted id can no longer anchor a query
+    with pytest.raises(ValueError, match="not in index"):
+        ann_topk_stored(spark, root, query_vec_id=dead[0], k=3)
+    # replay is idempotent; unknown ids are rejected
+    assert delete_ann_vectors(spark, root, dead) == {"n_tombstones": 2}
+    with pytest.raises(ValueError, match="do not exist"):
+        delete_ann_vectors(spark, root, [10**9])
+
+    res = purge_ann_deletes(spark, root)
+    assert res["n_purged"] == 2
+    assert res["n_vectors"] == embeddings.count() - 2
+    full = str(tmp_path / "ann_surv")
+    build_ann_tables(
+        spark,
+        embeddings.filter(~F.col("vec_id").isin([int(x) for x in dead])),
+        full,
+        dims=4,
+    )
+    for pa in (False, True):
+        assert _ids(
+            ann_topk_stored(spark, root, query_vec_id=0, k=10, probe_all=pa)
+        ) == _ids(
+            ann_topk_stored(spark, full, query_vec_id=0, k=10, probe_all=pa)
+        ), pa
+    # the stored table itself matches row-for-row
+    def rows(r):
+        return sorted(
+            (int(x["cell"]), int(x["vec_id"]))
+            for x in Catalog(spark, r).read("ann_vectors")
+            .select("cell", "vec_id").collect()
+        )
+
+    assert rows(root) == rows(full)
+    # purge with nothing tombstoned is a no-op
+    assert purge_ann_deletes(spark, root)["n_purged"] == 0
+    # the watermark survives the purge: re-inserting a purged id is
+    # still rejected (no id reuse through the deletion path)
+    with pytest.raises(ValueError, match="overlap"):
+        _compact(spark, embeddings.filter(F.col("vec_id") == dead[0]), root)
+
+
+def test_ann_purge_drops_fully_deleted_cell(spark, embeddings, tmp_path):
+    """Dynamic partition overwrite only touches partitions present in
+    the staged frame — a cell whose EVERY vector is tombstoned must be
+    removed explicitly; pin that branch."""
+    import os
+
+    from invertedindexbuilder_spark.catalog import Catalog
+    from invertedindexbuilder_spark.operators.similarity import (
+        delete_ann_vectors,
+        purge_ann_deletes,
+    )
+
+    root = str(tmp_path / "ann_cell")
+    build_ann_tables(spark, embeddings, root, dims=4)
+    cat = Catalog(spark, root)
+    vecs = cat.read("ann_vectors")
+    c = int(
+        vecs.groupBy("cell").count().orderBy("count", "cell").first()["cell"]
+    )
+    dead = [
+        int(r["vec_id"])
+        for r in vecs.filter(F.col("cell") == c).select("vec_id").collect()
+    ]
+    delete_ann_vectors(spark, root, dead)
+    res = purge_ann_deletes(spark, root)
+    assert res["n_purged"] == len(dead)
+    assert not os.path.exists(
+        os.path.join(cat.path("ann_vectors"), f"cell={c}")
+    )
+    full = str(tmp_path / "ann_cell_surv")
+    build_ann_tables(
+        spark,
+        embeddings.filter(~F.col("vec_id").isin([int(x) for x in dead])),
+        full,
+        dims=4,
+    )
+    assert _ids(
+        ann_topk_stored(spark, root, query_vec_id=0, k=10, probe_all=True)
+    ) == _ids(
+        ann_topk_stored(spark, full, query_vec_id=0, k=10, probe_all=True)
+    )

@@ -322,7 +322,56 @@ def test_purge_chunks_decode_identity(spark):
     postings.unpersist()
 
 
-def test_purge_refuses_stale_search_tables(spark, tmp_out):
+def test_purge_rewrites_search_tables(spark, tmp_out, tmp_path):
+    """Purging a build WITH stored search tables rewrites them in the
+    same atomic flip: every table equals a fresh build_search_tables
+    over the surviving (dense-remapped) corpus — filter+remap for the
+    per-doc tables, re-derived vocabulary, updated watermark."""
+    from invertedindexbuilder_spark.plans.build import build_search_tables
+
+    build(spark, synthetic_docs_src(spark, 60), tmp_out)
+    texts = synthetic_docs_src(spark, 60, with_ids=True).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    build_search_tables(spark, texts, tmp_out, collect_counts=False,
+                        partition=False)
+    deleted = [5, 17, 42]
+    delete_docs(spark, tmp_out, deleted)
+    out = purge_deletes(spark, tmp_out, partition=False)
+    assert out == {"n_purged": 3, "n_docs": 57}
+
+    # reference: fresh search tables over the surviving corpus with
+    # the same dense remap the purge applies
+    import numpy as np
+    import pandas as pd
+
+    dele = np.array(sorted(deleted), dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def remap(ids: pd.Series) -> pd.Series:
+        v = ids.values.astype(np.int64)
+        return pd.Series(v - np.searchsorted(dele, v))
+
+    surv = texts.filter(
+        ~F.col("doc_id").isin(deleted)
+    ).withColumn("doc_id", remap(F.col("doc_id")))
+    ref_root = str(tmp_path / "ref_search")
+    build_search_tables(spark, surv, ref_root, collect_counts=False,
+                        partition=False)
+
+    from invertedindexbuilder_spark.plans.build import load_search_tables
+
+    got = load_search_tables(spark, tmp_out)
+    ref = load_search_tables(spark, ref_root)
+    for name in ("positional_postings", "doc_terms", "char_trigrams",
+                 "term_dfs", "fuzzy_variants"):
+        g = sorted(map(tuple, got[name].collect()))
+        r = sorted(map(tuple, ref[name].collect()))
+        assert g == r, name
+    assert got["n_docs"] == 57 and got["max_doc_id"] == 56
+
+
+def test_purge_skip_search_tables_refuses(spark, tmp_out):
     from invertedindexbuilder_spark.plans.build import build_search_tables
 
     build(spark, synthetic_docs_src(spark, 60), tmp_out)
@@ -333,4 +382,4 @@ def test_purge_refuses_stale_search_tables(spark, tmp_out):
                         partition=False)
     delete_docs(spark, tmp_out, [5])
     with pytest.raises(ValueError, match="stale"):
-        purge_deletes(spark, tmp_out)
+        purge_deletes(spark, tmp_out, purge_search_tables=False)
