@@ -63,6 +63,11 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--frac", type=float, default=0.01)
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--index",
+                    help="use an existing chunk-only build (e.g. the "
+                         "cached 30M bench_bmw index) instead of "
+                         "building one; --docs must match its corpus")
+    ap.add_argument("--patterns", default="clustered,scattered")
     args = ap.parse_args()
 
     from bench import _cpu_canary
@@ -76,17 +81,20 @@ def main() -> int:
     spark = get_spark(app_name="bench-purge", cores=args.cores,
                       shuffle_partitions=args.cores, task_retries=4)
     spark.sparkContext.setLogLevel("ERROR")
-    base = ensure_index(spark, args.docs)
+    base = args.index if args.index else ensure_index(spark, args.docs)
 
     n_del = int(args.docs * args.frac)
     patterns = {
         # one contiguous range in the id interior (not the 0 edge, so
         # both rebase directions occur)
-        "clustered": list(range(500_000, 500_000 + n_del)),
+        "clustered": list(range(args.docs // 2, args.docs // 2 + n_del)),
         # every (1/frac)-th doc: nearly every multi-doc chunk overlaps
         "scattered": list(range(0, args.docs, int(1 / args.frac))),
     }
+    wanted = {p.strip() for p in args.patterns.split(",") if p.strip()}
     for name, deleted in patterns.items():
+        if name not in wanted:
+            continue
         work = base + f"_purge_{name}"
         shutil.rmtree(work, ignore_errors=True)
         shutil.copytree(base, work)
