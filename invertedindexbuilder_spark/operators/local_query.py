@@ -246,8 +246,31 @@ def topk_local(
     raise ValueError(mode)
 
 
-def _topk_sorted(scores: dict[int, float], k: int) -> list[tuple[int, float]]:
-    return sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+def _dense_topk(scores: np.ndarray, mask: np.ndarray, k: int):
+    """Exact top-k (score desc, doc_id asc) from the dense accumulator.
+    argpartition prunes to the k-th-largest threshold in C before the
+    (tie-complete) lexsort — the python-object dict sort this replaced
+    was the single hottest line of the OR path (~77 ms of a 94 ms
+    query at 1M docs)."""
+    ids = np.flatnonzero(mask)
+    if ids.size == 0:
+        return []
+    sc = scores[ids]
+    if ids.size > k:
+        kth = np.partition(sc, ids.size - k)[ids.size - k]
+        keep = sc >= kth  # ties at the boundary stay in for exactness
+        ids, sc = ids[keep], sc[keep]
+    order = np.lexsort((ids, -sc))[:k]
+    return [(int(ids[i]), float(sc[i])) for i in order]
+
+
+def _dense_theta(scores: np.ndarray, mask: np.ndarray, k: int) -> float:
+    """Current k-th best score (the BMW pruning threshold)."""
+    ids = np.flatnonzero(mask)
+    if ids.size < k:
+        return -np.inf
+    sc = scores[ids]
+    return float(np.partition(sc, ids.size - k)[ids.size - k])
 
 
 def _conjunctive(li, matched, k, ex=None):
@@ -274,19 +297,22 @@ def _conjunctive(li, matched, k, ex=None):
 
 
 def _disjunctive(li, matched, k, ex=None):
-    scores: dict[int, float] = {}
+    # dense accumulator sized like li.doc_len (same memory posture as
+    # the session's resident doc-length array): per-posting updates are
+    # one fancy-indexed add, never a python dict op per posting
+    scores = np.zeros(li.doc_len.size, dtype=np.float64)
+    mask = np.zeros(li.doc_len.size, dtype=bool)
     light = [(r, w) for r, w in matched if r["df"] <= HEAVY_QUERY_DF]
     heavy = [(r, w) for r, w in matched if r["df"] > HEAVY_QUERY_DF]
 
     for row, w in light:
         d, t = li.decode_all(row)
         d, t = _drop_excluded(d, t, ex)
-        contrib = w * bm25(t, row["df"], li.doc_len[d], li.n_docs, li.d_avr)
-        for doc, c in zip(d.tolist(), contrib.tolist()):
-            scores[doc] = scores.get(doc, 0.0) + c
+        scores[d] += w * bm25(t, row["df"], li.doc_len[d], li.n_docs, li.d_avr)
+        mask[d] = True
 
     if not heavy:
-        return _topk_sorted(scores, k)
+        return _dense_topk(scores, mask, k)
 
     ubs = [_block_ubs(li, r) for r, _ in heavy]
     full_ub = [float(u.max()) * w if u.size else 0.0 for (r, w), u in zip(heavy, ubs)]
@@ -296,12 +322,8 @@ def _disjunctive(li, matched, k, ex=None):
     # fetched; newly admitted docs may require blocks of OTHER heavy
     # lists, so iterate to a fixed point (<= len(heavy) rounds).
     while True:
-        cand = np.array(sorted(scores), dtype=np.int64)
-        theta = (
-            sorted(scores.values(), reverse=True)[k - 1]
-            if len(scores) >= k
-            else -np.inf
-        )
+        cand = np.flatnonzero(mask)
+        theta = _dense_theta(scores, mask, k)
         grew = False
         for i, (row, w) in enumerate(heavy):
             others = sum(full_ub[: i]) + sum(full_ub[i + 1 :])
@@ -318,9 +340,10 @@ def _disjunctive(li, matched, k, ex=None):
             decoded[i].update(want)
             d, t = li._decode_blocks(row, np.array(want, dtype=np.int64))
             d, t = _drop_excluded(d, t, ex)
-            contrib = w * bm25(t, row["df"], li.doc_len[d], li.n_docs, li.d_avr)
-            for doc, c in zip(d.tolist(), contrib.tolist()):
-                scores[doc] = scores.get(doc, 0.0) + c
+            scores[d] += w * bm25(
+                t, row["df"], li.doc_len[d], li.n_docs, li.d_avr
+            )
+            mask[d] = True
         if not grew:
             break
-    return _topk_sorted(scores, k)
+    return _dense_topk(scores, mask, k)
