@@ -72,6 +72,12 @@ def vb_decode(data: bytes, count: int | None = None) -> np.ndarray:
     if b.size == 0:
         return np.zeros(0, dtype=np.int64)
     is_stop = b >= 128
+    if is_stop.all():
+        # every value is a single byte (v < 128) — dense posting lists
+        # are dominated by 1-byte gaps/tfs, so this skips the
+        # repeat/scatter machinery below entirely
+        vals = (b & 0x7F).astype(np.int64)
+        return vals[:count] if count is not None else vals
     stops = np.flatnonzero(is_stop)
     if count is not None:
         stops = stops[:count]
@@ -196,6 +202,38 @@ def decode_posting_list(
         off += blen
         done += cnt
     return doc_ids, tfs
+
+
+def decode_block_run(
+    payload: bytes,
+    block_bytes: np.ndarray,
+    block_counts: np.ndarray,
+    prev_doc_id: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a CONTIGUOUS run of blocks with ONE varbyte pass.
+
+    Within a list the gap chain continues across block boundaries
+    (block b's first gap is relative to the previous block's last doc
+    — encode_posting_list writes one unbroken delta stream), so a run
+    [b0, b1] decodes as: single vb_decode of the byte range, split the
+    flat value array into each block's [gaps | tfs] halves
+    (vectorized), cumsum ALL gaps against last_doc_ids[b0-1].  The
+    per-block vb_decode loop this replaces paid ~30 us of fixed numpy
+    overhead per 128-posting block — the dominant cost of wide
+    disjunctions in the driver-local session (local_query).
+    """
+    bc = np.asarray(block_counts, dtype=np.int64)
+    total = int(bc.sum())
+    vals = vb_decode(payload, count=2 * total)
+    if len(bc) == 1:  # common fast path: one block / whole-run slice
+        gaps, tfs = vals[: bc[0]], vals[bc[0] :]
+    else:
+        starts = np.concatenate(([0], np.cumsum(2 * bc)[:-1]))
+        block_of = np.repeat(np.arange(bc.size), 2 * bc)
+        within = np.arange(vals.size) - starts[block_of]
+        is_gap = within < bc[block_of]
+        gaps, tfs = vals[is_gap], vals[~is_gap]
+    return np.cumsum(gaps) + prev_doc_id, tfs
 
 
 def decode_blocks_pruned(

@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 
 from invertedindexbuilder_spark import BM25_B, BM25_K1, LEXICON_KEY_LEN
 from invertedindexbuilder_spark.functions.bm25 import bm25, idf
-from invertedindexbuilder_spark.functions.compress import decode_posting_list
+from invertedindexbuilder_spark.functions.compress import decode_block_run
 from invertedindexbuilder_spark.operators.query_exec import tokenize_query
 
 HEAVY_QUERY_DF = 8192  # lists above this get block-max treatment in OR
@@ -141,27 +141,47 @@ class LocalIndex:
     # -- block-level decode helpers --
     def _decode_blocks(self, row: dict, want: np.ndarray):
         """Decode the selected block indices of one list ->
-        (doc_ids, tfs) concatenated."""
+        (doc_ids, tfs) concatenated.  Consecutive indices decode as
+        RUNS — one varbyte pass per run (compress.decode_block_run),
+        not one per block; a full-list decode is exactly one pass."""
+        if want.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
         bb = np.asarray(row["block_bytes"], dtype=np.int64)
         bc = np.asarray(row["block_counts"], dtype=np.int64)
         last = np.asarray(row["last_doc_ids"], dtype=np.int64)
         payload = bytes(row["payload"])
         offs = np.concatenate(([0], np.cumsum(bb)))
+        self.blocks_decoded += int(want.size)
+        span0, span1 = int(want[0]), int(want[-1])
+        n_span = span1 - span0 + 1
+        if want.size * 3 >= n_span:
+            # dense selection: ONE decode of the whole span, then mask
+            # off the unwanted blocks' rows — far cheaper than many
+            # fragmented runs when BMW pruning leaves a gappy pattern
+            d, t = decode_block_run(
+                payload[offs[span0] : offs[span1 + 1]],
+                bb[span0 : span1 + 1],
+                bc[span0 : span1 + 1],
+                prev_doc_id=int(last[span0 - 1]) if span0 > 0 else 0,
+            )
+            if want.size == n_span:
+                return d, t
+            keep_block = np.zeros(n_span, dtype=bool)
+            keep_block[want - span0] = True
+            keep = np.repeat(keep_block, bc[span0 : span1 + 1])
+            return d[keep], t[keep]
         out_d, out_t = [], []
-        for b in want.tolist():
-            base = int(last[b - 1]) if b > 0 else 0
-            d, t = decode_posting_list(
-                payload[offs[b] : offs[b + 1]],
-                int(bc[b]),
-                bb[b : b + 1],
-                prev_doc_id=base,
-                block_counts=bc[b : b + 1],
+        cuts = np.flatnonzero(np.diff(want) != 1) + 1
+        for run in np.split(want, cuts):
+            b0, b1 = int(run[0]), int(run[-1])
+            d, t = decode_block_run(
+                payload[offs[b0] : offs[b1 + 1]],
+                bb[b0 : b1 + 1],
+                bc[b0 : b1 + 1],
+                prev_doc_id=int(last[b0 - 1]) if b0 > 0 else 0,
             )
             out_d.append(d)
             out_t.append(t)
-        self.blocks_decoded += len(out_d)
-        if not out_d:
-            return np.zeros(0, np.int64), np.zeros(0, np.int64)
         return np.concatenate(out_d), np.concatenate(out_t)
 
     def decode_all(self, row: dict):

@@ -197,3 +197,54 @@ def test_reference_record_layout():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**30),
+            st.integers(min_value=1, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=700,
+        unique_by=lambda t: t[0],
+    ),
+    st.data(),
+)
+def test_block_run_decode_equals_whole_and_per_block(postings, data):
+    """decode_block_run (the local session's one-vb_decode-per-run
+    path) == decode_posting_list for the full list AND for every
+    contiguous sub-run started at a block boundary (base from
+    last_doc_ids, exactly how LocalIndex._decode_blocks calls it)."""
+    from invertedindexbuilder_spark.functions.compress import (
+        decode_block_run,
+        full_block_counts,
+    )
+
+    postings.sort()
+    docs = np.array([p[0] for p in postings], dtype=np.int64)
+    tfs = np.array([p[1] for p in postings], dtype=np.int64)
+    last, sizes, _max_tf, payload = encode_posting_list(docs, tfs)
+    sizes = np.asarray(sizes, dtype=np.int64)
+    counts = full_block_counts(len(docs), 128)
+    offs = np.concatenate(([0], np.cumsum(sizes)))
+
+    d_all, t_all = decode_block_run(payload, sizes, counts)
+    np.testing.assert_array_equal(d_all, docs)
+    np.testing.assert_array_equal(t_all, tfs)
+
+    n_blocks = len(sizes)
+    b0 = data.draw(st.integers(min_value=0, max_value=n_blocks - 1))
+    b1 = data.draw(st.integers(min_value=b0, max_value=n_blocks - 1))
+    base = int(last[b0 - 1]) if b0 > 0 else 0
+    d_run, t_run = decode_block_run(
+        bytes(payload)[offs[b0] : offs[b1 + 1]],
+        sizes[b0 : b1 + 1],
+        counts[b0 : b1 + 1],
+        prev_doc_id=base,
+    )
+    lo = int(counts[:b0].sum())
+    hi = int(counts[: b1 + 1].sum())
+    np.testing.assert_array_equal(d_run, docs[lo:hi])
+    np.testing.assert_array_equal(t_run, tfs[lo:hi])
