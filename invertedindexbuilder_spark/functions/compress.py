@@ -184,24 +184,13 @@ def decode_posting_list(
     """
     if block_counts is None:
         block_counts = full_block_counts(df, block_size)
-    n_blocks = len(block_bytes)
-    doc_ids = np.empty(df, dtype=np.int64)
-    tfs = np.empty(df, dtype=np.int64)
-    off = 0
-    done = 0
-    prev = prev_doc_id
-    for blk in range(n_blocks):
-        cnt = int(block_counts[blk])
-        blen = int(block_bytes[blk])
-        vals = vb_decode(payload[off : off + blen], count=2 * cnt)
-        gaps = vals[:cnt]
-        docs = np.cumsum(gaps) + prev
-        doc_ids[done : done + cnt] = docs
-        tfs[done : done + cnt] = vals[cnt : 2 * cnt]
-        prev = int(docs[-1])
-        off += blen
-        done += cnt
-    return doc_ids, tfs
+    # the gap chain is unbroken across block boundaries, so the whole
+    # list is one contiguous run — a single varbyte pass (r6; the
+    # per-block vb_decode loop this replaces paid ~30 us of fixed
+    # overhead per 128-posting block in every executor chunk decode)
+    return decode_block_run(
+        payload, block_bytes, block_counts, prev_doc_id=prev_doc_id
+    )
 
 
 def decode_block_run(
