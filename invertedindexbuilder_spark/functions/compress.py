@@ -304,14 +304,17 @@ def decode_blocks_selected(
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     offs = np.concatenate(([0], np.cumsum(block_bytes)))
     out_d, out_t = [], []
-    for b in keep.tolist():
-        base = int(last_doc_ids[b - 1]) if b > 0 else prev_doc_id
-        d, t = decode_posting_list(
-            payload[offs[b] : offs[b + 1]],
-            int(block_counts[b]),
-            block_bytes[b : b + 1],
-            prev_doc_id=base,
-            block_counts=block_counts[b : b + 1],
+    # consecutive kept indices decode as one run (single varbyte pass
+    # each — the chain is continuous inside a run, and a skipped run's
+    # base is the stored last_doc_ids of the block before it)
+    cuts = np.flatnonzero(np.diff(keep) != 1) + 1
+    for run in np.split(keep, cuts):
+        b0, b1 = int(run[0]), int(run[-1])
+        d, t = decode_block_run(
+            payload[offs[b0] : offs[b1 + 1]],
+            block_bytes[b0 : b1 + 1],
+            block_counts[b0 : b1 + 1],
+            prev_doc_id=int(last_doc_ids[b0 - 1]) if b0 > 0 else prev_doc_id,
         )
         out_d.append(d)
         out_t.append(t)
