@@ -89,25 +89,37 @@ BMW_CANDIDATE_LIMIT = 200_000
 # below its corpus size — recalibrate with bench_bmw.py on the target
 # cluster.  Full numbers in BENCH/SCALE.md.
 #
-# r5 refinement, from the first above-crossover measurements at 30M
-# docs (warm, min-of-3): 1 heavy list (~2.85e7 skippable postings)
-# still LOSES by 1.07 s, 4 heavy lists (~1.14e8) WINS by 0.97 s — the
-# decision variable is the query's total heavy-list posting volume,
-# not corpus size.  Interpolating the two points puts the in-memory
-# zero crossing at ~7.3e7 heavy postings; the auto rule now sums the
-# matched heavy dfs (free in the chunked path — the single-scan
-# lookup already collected them) and engages above this volume.
-AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS = 75_000_000
+# The decision variable is the query's total heavy-list posting
+# volume (r5) — the auto rule sums the matched heavy dfs, free in the
+# chunked path whose single-scan lookup already collected them.  The
+# floor is recalibrated per decode generation: r6's batched varbyte
+# decode (compress.decode_block_run + the byte-position vb_decode)
+# made FULL decode 2.5-6x faster in page cache, and the re-measured
+# 30M ladder shows forced pruning now losing in-memory at every
+# volume up to 1.2e8 (22.4 s vs 12.9 s full; the pruner's ~9 s
+# overhead is driver-latency + fragmented candidate decode, roughly
+# volume-invariant, while full decode costs ~0.1 s per 1e7 postings
+# warm) — extrapolated in-memory parity ~1e9, halved for the
+# cost asymmetry on REMOTE storage (skipped blocks are skipped reads;
+# engaging early costs a bounded fraction of one query, failing to
+# engage at stopword scale costs orders of magnitude).  Recalibrate
+# with scripts/bench_bmw.py on the target cluster — full history in
+# BENCH/SCALE.md.
+AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS = 500_000_000
 # Corpus floor below which the merged path skips even the per-term
 # metadata collect that the volume rule needs: with the default
-# heavy_df classifier a query needs heavy lists summing to 7.5e7
+# heavy_df classifier a query needs heavy lists summing to 5e8
 # postings, implausible below ~10M docs.
 AUTO_OR_PRUNE_MIN_DOCS = 10_000_000
 # The conjunctive candidate path is cheaper than BMW (one rare-list
 # decode+collect, no scoring pass, no soundness-check job), so its
 # crossover comes earlier: measured deficit vs full decode was 1.86 s /
 # 1.66 s / 1.61 s at 100k / 300k / 1M docs and 0.0 s (parity) at 10M
-# (bench_bmw.py, same protocol) — hence 10M.
+# (bench_bmw.py, same protocol) — hence 10M.  r6's faster full decode
+# moved the 30M point from a decisive win (6.95 vs 10.88 s) to parity
+# (7.8 vs 7.1 s, inside session noise); the rule stays — candidate
+# pruning never lost a measurement, and on remote storage its skipped
+# heavy blocks are skipped reads.
 AUTO_AND_PRUNE_MIN_DOCS = 10_000_000
 
 
