@@ -23,7 +23,9 @@ Coverage map (SURVEY §2 rows -> queries):
   incr. search tables (r4)  -> search_dfs_compacted
   stored ANN serving (r5)   -> ann_ivf_stored
   document deletion (r6)    -> index_purged (physical),
-                               bm25_and_deleted (tombstones)
+                               bm25_and_deleted (tombstones),
+                               search_dfs_purged (search tables
+                               rewritten in the purge flip)
   boolean NOT / facets (r3) -> bm25_and_not, bm25_filtered
   S4 sampling               -> sample_mod10
   training-data extensions  -> dedup_exact, dedup_jaccard,
