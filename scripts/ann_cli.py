@@ -42,6 +42,9 @@ def main() -> int:
                     help="train K centroids instead of the sign grid")
     ap.add_argument("--train-sample", type=int, default=100_000,
                     help="vectors used for the k-means fit (lowest ids)")
+    ap.add_argument("--stats", action="store_true",
+                    help="print one JSON report: ann_stats, pending "
+                         "tombstones, per-cell vector counts")
     ap.add_argument("--delete-ids",
                     help="comma-separated vec_ids to tombstone")
     ap.add_argument("--purge-deleted", action="store_true",
@@ -93,6 +96,26 @@ def main() -> int:
         print(json.dumps(delete_ann_vectors(spark, args.out, ids)))
     if args.purge_deleted:
         print(json.dumps(purge_ann_deletes(spark, args.out)))
+
+    if args.stats:
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from invertedindexbuilder_spark.catalog import Catalog
+        from invertedindexbuilder_spark.operators.similarity import (
+            load_ann_tombstones,
+        )
+
+        cat = Catalog(spark, args.out)
+        report = cat.read("ann_stats").collect()[0].asDict()
+        tomb = load_ann_tombstones(spark, args.out)
+        report["n_tombstones"] = int(tomb.count()) if tomb is not None else 0
+        report["cells"] = {
+            int(r["cell"]): int(r["n"])
+            for r in cat.read("ann_vectors")
+            .groupBy("cell").agg(F.count("*").alias("n"))
+            .orderBy("cell").collect()
+        }
+        print(json.dumps(report))
 
     if args.query_id is not None:
         rows = ann_topk_stored(

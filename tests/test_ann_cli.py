@@ -98,3 +98,11 @@ def test_kmeans_cli_build_query_compact_replay(
     # replaying the same delta through the CLI is rejected
     with pytest.raises(ValueError, match="overlap"):
         run_cli("--input", delta_p, "--out", root, "--compact")
+    capsys.readouterr()
+
+    # --stats reports the store's operational facts in one JSON line
+    run_cli("--out", root, "--stats")
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_vectors"] == 500 and st["trained"] is True
+    assert st["n_tombstones"] == 0
+    assert sum(st["cells"].values()) == 500 and len(st["cells"]) <= 4
