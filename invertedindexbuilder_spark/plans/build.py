@@ -894,8 +894,15 @@ def compact(
             ),
             n_delta,
         ).select("doc_id", "content")
-        if delta_tok.rdd.getNumPartitions() < min_par:
-            delta_tok = delta_tok.repartition(min_par)
+        # same guard as the fresh build (see tok_par above): target the
+        # CORE count, not the (possibly data-sized) partition-count
+        # target — repartitioning an under-split delta to min_par would
+        # recreate the oversized full-content shuffle for zero extra
+        # concurrency (a large backfill delta hits exactly the ~230 GB
+        # failure mode the fresh-path fix exists to avoid)
+        delta_par = min(min_par, spark.sparkContext.defaultParallelism)
+        if delta_tok.rdd.getNumPartitions() < delta_par:
+            delta_tok = delta_tok.repartition(delta_par)
         tokenize = build_postings_jvm if tokenizer == "jvm" else build_postings
         # persist: with adaptive salting, compact_chunks runs two skew-
         # detection collects before the encode shuffle — unpersisted,

@@ -278,3 +278,39 @@ def test_compact_crash_after_publish_is_consistent(spark, tmp_path, monkeypatch)
     compact(spark, synthetic_docs_src(spark, 50, start=400), root)
     assert load_stats(spark, root)["n_docs"] == 450
     assert BuildManifest(root).data.get("compact_journal") is None
+
+
+def test_compact_delta_repartition_bounded_by_cores(spark, tmp_path, monkeypatch):
+    """The delta re-tokenize path must bound its repartition target by
+    the machine's core count, exactly like the fresh build
+    (plans/build.py tok_par): repartitioning an under-split delta to a
+    data-sized shuffle-partition target (e.g. 240) re-shuffles every
+    content byte for zero extra concurrency — at 30M docs that second
+    full-content shuffle alone overflowed a single node's disk (the r5
+    fresh-path fix; this pins its compact() twin)."""
+    import invertedindexbuilder_spark.plans.build as build_mod
+    from invertedindexbuilder_spark.plans.build import build, compact
+    from invertedindexbuilder_spark.sources.docs_src import synthetic_docs_src
+
+    root = str(tmp_path / "idx")
+    build(spark, synthetic_docs_src(spark, 200), root, write_chunks=True)
+
+    seen: list[int] = []
+    real = build_mod.build_postings_jvm
+
+    def spy(df, *a, **kw):
+        seen.append(df.rdd.getNumPartitions())
+        return real(df, *a, **kw)
+
+    monkeypatch.setattr(build_mod, "build_postings_jvm", spy)
+    # an under-split delta (coalesce to 1) + an oversized partition
+    # target: the tokenize input must land on <= core count, never 64
+    compact(
+        spark,
+        synthetic_docs_src(spark, 60, start=200).coalesce(1),
+        root,
+        num_partitions=64,
+    )
+    cores = spark.sparkContext.defaultParallelism
+    assert seen, "tokenize path not exercised"
+    assert all(1 <= p <= cores for p in seen), (seen, cores)
