@@ -32,8 +32,13 @@ same merged posting lists, same docs table, same stats, same top-k.
 
 NOTE for pre-assigned-id ingestion (plans/build.build with a source
 ``doc_id`` column): a purge REMAPS ids, so the upstream system's ids no
-longer match the index after it; resynchronize upstream from the
-rewritten docs table (keys → new doc_id) before the next compact.
+longer match the index after it.  The purge publishes an ``id_remap``
+table (``old_doc_id -> new_doc_id``, survivors only) in the SAME atomic
+flip so a CDC upstream can resynchronize with one join on its own ids —
+no (repo, path, commit) key join over the full docs table needed.  The
+table describes the LATEST purge only (each purge overwrites it); apply
+it before the next compact, or after a second purge re-derive the
+composition from the docs-table keys.
 """
 
 from __future__ import annotations
@@ -247,10 +252,24 @@ def purge_deletes(
             "directory instead"
         )
 
+    # ---- id_remap: old -> new survivor ids, published in the same
+    # flip (VERDICT r6 #5).  One vectorized map over the old docs table
+    # (no shuffle); upstream systems holding pre-assigned ids resync
+    # with a single join on old_doc_id instead of re-keying the full
+    # corpus.  Overwritten by each purge: it maps THIS purge only. ----
+    remap_phys = f"id_remap.g{gen}"
+    cat.write(
+        survivors.select(
+            F.col("doc_id").alias("old_doc_id"),
+            remap(F.col("doc_id")).alias("new_doc_id"),
+        ),
+        remap_phys,
+    )
+
     # ---- index: shift-or-reencode per chunk (or per merged row — a
     # merged INDEX row is one whole-list chunk with salt 0 whose first
     # varbyte IS the absolute first doc id) ----
-    publish_map = {"docs": docs_phys}
+    publish_map = {"docs": docs_phys, "id_remap": remap_phys}
     has_chunks = cat.exists("index_chunks")
     if has_chunks:
         chunks_phys = f"index_chunks.g{gen}"

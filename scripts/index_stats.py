@@ -56,7 +56,7 @@ def build_report(spark, index_root: str, top: int = 10) -> dict:
             report["compact_journal"] = m["compact_journal"]
 
     tables = ["docs", "index", "index_chunks", "search_stats",
-              "deleted_docs", *SEARCH_TABLES]
+              "deleted_docs", "id_remap", *SEARCH_TABLES]
     footprints = {}
     for t in tables:
         p = cat.path(t)
@@ -68,9 +68,26 @@ def build_report(spark, index_root: str, top: int = 10) -> dict:
     report["tables"] = footprints
 
     # pending logical deletions (plans/deletes.py): serving excludes
-    # these now; a purge folds them into the physical artifacts
+    # these now; a purge folds them into the physical artifacts.
+    # Tombstoned serving keeps the AS-INDEXED N/d_avr by design
+    # (deletes.py: filtered-search semantics), so scoring drifts from a
+    # fresh build as debt accumulates — surface the debt and recommend
+    # a purge past 5 % so an operator sees the signal (VERDICT r6 #6)
     if "deleted_docs" in footprints:
-        report["n_tombstones"] = int(cat.read("deleted_docs").count())
+        n_tomb = int(cat.read("deleted_docs").count())
+        n_docs = int(report["stats"].get("n_docs", 0))
+        frac = (n_tomb / n_docs) if n_docs else 0.0
+        report["n_tombstones"] = n_tomb
+        report["tombstone_debt"] = {
+            "n_tombstones": n_tomb,
+            "fraction_of_n_docs": round(frac, 4),
+            "purge_recommended": frac > 0.05,
+            "note": (
+                "BM25 serving keeps as-indexed N/d_avr until a purge; "
+                ">5% deleted => stats drift, run delete_docs.py --purge"
+            ) if frac > 0.05 else
+            "BM25 serving keeps as-indexed N/d_avr until a purge",
+        }
 
     # posting-list distribution from whichever index artifact exists —
     # chunk rows aggregate to full terms first so both layouts report

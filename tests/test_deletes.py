@@ -383,3 +383,60 @@ def test_purge_skip_search_tables_refuses(spark, tmp_out):
     delete_docs(spark, tmp_out, [5])
     with pytest.raises(ValueError, match="stale"):
         purge_deletes(spark, tmp_out, purge_search_tables=False)
+
+
+def test_purge_emits_id_remap_for_upstream_resync(spark, tmp_path):
+    """VERDICT r6 #5: the purge's atomic flip publishes an ``id_remap``
+    (old_doc_id -> new_doc_id) table so a CDC upstream holding
+    pre-assigned ids resyncs with one join on its OWN ids — no
+    (repo, path, commit) re-key over the full docs table.  End-to-end:
+    pre-assigned-id build -> purge -> upstream resync via the table ->
+    a subsequent compact() with upstream-assigned delta ids passes the
+    dense-id validation."""
+    root = str(tmp_path / "idx")
+    build(
+        spark, synthetic_docs_src(spark, N_DOCS, with_ids=True), root,
+        write_chunks=True,
+    )
+    cat = Catalog(spark, root)
+
+    # upstream's view before the purge: its ids ARE the index ids
+    upstream = {
+        r["doc_id"]: r["url"]
+        for r in cat.read("docs").select("doc_id", "url").collect()
+    }
+
+    delete_docs(spark, root, DELETED)
+    res = purge_deletes(spark, root)
+    n_new = res["n_docs"]
+    assert n_new == N_DOCS - len(DELETED)
+
+    # the remap table is in the published view, survivors only, and
+    # matches the closed form new = old - |tombstones <= old|
+    remap = {
+        r["old_doc_id"]: r["new_doc_id"]
+        for r in cat.read("id_remap").collect()
+    }
+    assert len(remap) == n_new
+    assert set(remap.keys()) == set(range(N_DOCS)) - set(DELETED)
+    for old, new in remap.items():
+        assert new == old - sum(1 for d in DELETED if d < old)
+
+    # upstream resync: remap its ids, then its (id, url) view must
+    # equal the rewritten docs table exactly
+    resynced = {remap[i]: url for i, url in upstream.items() if i in remap}
+    docs_after = {
+        r["doc_id"]: r["url"]
+        for r in cat.read("docs").select("doc_id", "url").collect()
+    }
+    assert resynced == docs_after
+
+    # subsequent compact with UPSTREAM-assigned delta ids (dense
+    # 0..m-1 per the prepare_docs contract) passes dense-id validation
+    delta = synthetic_docs_src(spark, 40, start=N_DOCS, with_ids=True)
+    delta = delta.withColumn("doc_id", F.col("doc_id") - F.lit(N_DOCS))
+    compact(spark, delta, root)
+    stats = load_stats(spark, root)
+    assert stats["n_docs"] == n_new + 40
+    ids = sorted(r["doc_id"] for r in cat.read("docs").select("doc_id").collect())
+    assert ids == list(range(n_new + 40))

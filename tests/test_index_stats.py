@@ -58,3 +58,41 @@ def test_build_report_smoke(spark, tmp_out):
     # build phases surfaced from the manifest (fingerprints stripped)
     assert "index" in report["phases"]
     assert "fingerprint" not in next(iter(report["phases"].values()))
+
+
+def test_tombstone_debt_reported_and_purge_flagged(spark, tmp_out):
+    """VERDICT r6 #6: tombstoned serving keeps as-indexed N/d_avr by
+    design, so the operator report must surface the debt — count,
+    fraction, and a purge recommendation past 5 % — and drop it again
+    after the purge clears the tombstones."""
+    from invertedindexbuilder_spark.plans.deletes import (
+        delete_docs,
+        purge_deletes,
+    )
+
+    build(spark, synthetic_docs_src(spark, 40), tmp_out, write_chunks=True)
+    mod = _load_index_stats()
+
+    # 2/40 = 5% exactly: debt reported, no recommendation yet
+    delete_docs(spark, tmp_out, [3, 7])
+    r = mod.build_report(spark, tmp_out)
+    assert r["n_tombstones"] == 2
+    debt = r["tombstone_debt"]
+    assert debt["fraction_of_n_docs"] == 0.05
+    assert debt["purge_recommended"] is False
+
+    # 4/40 = 10%: past the 5% drift threshold -> recommend a purge
+    delete_docs(spark, tmp_out, [11, 13])
+    debt = mod.build_report(spark, tmp_out)["tombstone_debt"]
+    assert debt["n_tombstones"] == 4
+    assert debt["purge_recommended"] is True
+    assert "purge" in debt["note"]
+
+    # purge clears the debt (empty tombstone table stays published) and
+    # the id_remap footprint shows up in the tables map
+    purge_deletes(spark, tmp_out)
+    r = mod.build_report(spark, tmp_out)
+    assert r["n_tombstones"] == 0
+    assert r["tombstone_debt"]["purge_recommended"] is False
+    assert r["tables"]["id_remap"]["bytes"] > 0
+    assert r["stats"]["n_docs"] == 36
