@@ -122,6 +122,24 @@ AUTO_OR_PRUNE_MIN_DOCS = 10_000_000
 # heavy blocks are skipped reads.
 AUTO_AND_PRUNE_MIN_DOCS = 10_000_000
 
+# Serving-config overrides (VERDICT r6 #3): the module constants above
+# are MEASURED floors for THIS box's decode generation and page-cache
+# storage; SCALE.md tells a cluster operator to recalibrate with
+# scripts/bench_bmw.py on the target cluster — these confs are the knob
+# that applies the recalibration WITHOUT editing the module.  Resolved
+# per query (RuntimeConfig), so a serving session can flip them live:
+#   spark.conf.set("spark.iib.autoOrPruneMinHeavyPostings", 2_000_000)
+OR_PRUNE_MIN_HEAVY_CONF = "spark.iib.autoOrPruneMinHeavyPostings"
+OR_PRUNE_MIN_DOCS_CONF = "spark.iib.autoOrPruneMinDocs"
+AND_PRUNE_MIN_DOCS_CONF = "spark.iib.autoAndPruneMinDocs"
+
+
+def _auto_floor(spark: SparkSession, conf_key: str, default: int) -> int:
+    """An auto-prune floor: the Spark conf override if set, else the
+    measured module constant."""
+    v = spark.conf.get(conf_key, None)
+    return default if v is None else int(v)
+
 
 def tokenize_query(query: str) -> list[str]:
     """Query tokenization: alnum runs, lowercased, NO length cap / D0."""
@@ -654,9 +672,13 @@ def topk_bm25(
     if auto_or:
         # provisional corpus floor; the real (posting-volume) decision
         # happens below once the per-term metadata is collected
-        or_prune = n_docs >= AUTO_OR_PRUNE_MIN_DOCS
+        or_prune = n_docs >= _auto_floor(
+            spark, OR_PRUNE_MIN_DOCS_CONF, AUTO_OR_PRUNE_MIN_DOCS
+        )
     if and_prune == "auto":
-        and_prune = n_docs >= AUTO_AND_PRUNE_MIN_DOCS
+        and_prune = n_docs >= _auto_floor(
+            spark, AND_PRUNE_MIN_DOCS_CONF, AUTO_AND_PRUNE_MIN_DOCS
+        )
 
     # scan-pushed per-key frames for the pruning passes (same reason as
     # the chunked path's rows_for: a filter on `matched` keeps every
@@ -703,7 +725,9 @@ def topk_bm25(
         # term with df == heavy_df is decoded as a LIGHT list, so it
         # must not count toward the prunable posting volume either
         skippable = sum(r["df"] for r in meta if r["df"] > heavy_df)
-        if not auto_or or skippable >= AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS:
+        if not auto_or or skippable >= _auto_floor(
+            spark, OR_PRUNE_MIN_HEAVY_CONF, AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS
+        ):
             decoded = _try_bmw_or_decode(
                 spark, matched, meta, docs, stats, n_docs, davr,
                 k, heavy_df, cand_limit, counters,
@@ -864,9 +888,13 @@ def topk_bm25_chunked(
             # heavy_df terms are decoded as light lists)
             if w["term_df"] > heavy_df
         )
-        or_prune = skippable >= AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS
+        or_prune = skippable >= _auto_floor(
+            spark, OR_PRUNE_MIN_HEAVY_CONF, AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS
+        )
     if and_prune == "auto":
-        and_prune = n_docs >= AUTO_AND_PRUNE_MIN_DOCS
+        and_prune = n_docs >= _auto_floor(
+            spark, AND_PRUNE_MIN_DOCS_CONF, AUTO_AND_PRUNE_MIN_DOCS
+        )
 
     # all pruning metadata below comes from the winners dict the
     # lookup already collected — NO further aggregate jobs / chunk

@@ -244,15 +244,25 @@ def _spark_runner(args):
             import json as _json
 
             from invertedindexbuilder_spark.operators.query_exec import (
+                AND_PRUNE_MIN_DOCS_CONF,
                 AUTO_AND_PRUNE_MIN_DOCS,
                 AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS,
+                OR_PRUNE_MIN_HEAVY_CONF,
+                _auto_floor,
             )
 
             # AND auto keys on corpus size; OR auto keys on the
             # query's summed heavy-list dfs (r5 posting-volume rule) —
-            # prune_engaged below is the ground truth of what ran
-            thr = (AUTO_AND_PRUNE_MIN_DOCS if mode == "and"
-                   else AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS)
+            # prune_engaged below is the ground truth of what ran.
+            # Floors resolve through the serving conf so the report
+            # shows what the session actually decided with
+            thr = (
+                _auto_floor(spark, AND_PRUNE_MIN_DOCS_CONF,
+                            AUTO_AND_PRUNE_MIN_DOCS)
+                if mode == "and"
+                else _auto_floor(spark, OR_PRUNE_MIN_HEAVY_CONF,
+                                 AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS)
+            )
             auto_on = (int(stats["n_docs"]) >= thr if mode == "and"
                        else int(counters["total"].value) > 0)
             total = int(counters["total"].value)
