@@ -14,6 +14,15 @@ salting, so the salted path is what gets measured).  BM25 latencies are
 then served from BOTH artifacts (merged + chunked).  The dedup/ANN ops
 keep running over the shared sf tables for round-over-round comparison.
 
+Calibration (benchmetrics.py): single-thread canary (host speed),
+8-thread canary (multi-core throttle the single-thread one can't see —
+VERDICT r6 #1), and per-query JVM read bytes — ``queries_rchar_mb`` =
+logical bytes through read syscalls (the at-scale bytes-requested
+figure, page-cache hits included), ``queries_disk_read_mb`` = physical
+block-device bytes (~0 warm).  Spark's task inputMetrics are blind to
+the vectorized local-file parquet path (see benchmetrics docstring), so
+the meter sits at /proc/<jvm>/io where nothing can bypass it.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (default 100000).
 """
@@ -26,31 +35,37 @@ import shutil
 import sys
 import tempfile
 import time
+from contextlib import contextmanager
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from invertedindexbuilder_spark.benchmetrics import (  # noqa: E402
+    JvmIOMeter,
+    cpu_canary,
+    cpu_canary_mt,
+)
 
-def _cpu_canary(reps: int = 3) -> float:
-    """Fixed pure-CPU workload (sha256 over a constant 512 MB stream),
-    single-threaded, min-of-``reps`` seconds.  VM-speed self-
-    calibration (VERDICT r4 #5): the unpinned local[32] box this bench
-    runs on swings ±40 % run-to-run, which is wider than any
-    code-driven delta the suite is meant to detect — recording the
-    canary at suite start AND end lets a cross-round comparison divide
-    out host speed (compare query_sec / canary_sec) instead of
-    re-running the whole suite to adjudicate a regression."""
-    import hashlib
 
-    buf = b"\x5a" * (1 << 20)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        h = hashlib.sha256()
-        for _ in range(512):
-            h.update(buf)
-        h.digest()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 4)
+class _Meter:
+    """Per-query wall seconds + JVM read-byte deltas."""
+
+    def __init__(self) -> None:
+        self.timings: dict[str, float] = {}
+        self.rchar: dict[str, int] = {}
+        self.disk: dict[str, int] = {}
+        self.io: JvmIOMeter | None = None
+
+    @contextmanager
+    def q(self, name: str):
+        if self.io is not None:
+            self.io.delta()  # reset the byte baseline to query start
+        t0 = time.time()
+        yield
+        self.timings[name] = time.time() - t0
+        if self.io is not None:
+            d = self.io.delta()
+            self.rchar[name] = d["rchar"]
+            self.disk[name] = d["read_bytes"]
 
 
 def main() -> int:
@@ -73,7 +88,8 @@ def main() -> int:
     from invertedindexbuilder_spark.session import get_spark
     from invertedindexbuilder_spark.sources.docs_src import synthetic_docs_src
 
-    canary_start = _cpu_canary()
+    canary_start = cpu_canary()
+    canary8_start = cpu_canary_mt(8)
 
     spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -106,19 +122,19 @@ def main() -> int:
     finally:
         shutil.rmtree(warm_out, ignore_errors=True)
 
-    timings: dict[str, float] = {}
+    meter = _Meter()
+    meter.io = JvmIOMeter()
     t_all = time.time()
     out = tempfile.mkdtemp(prefix="bench_idx_")
     try:
         # ---- q1: FULL index build plan (write_chunks: both artifacts) ----
-        t0 = time.time()
-        manifest = build(
-            spark,
-            synthetic_docs_src(spark, bench_docs),
-            out,
-            write_chunks=True,
-        )
-        timings["build_index"] = time.time() - t0
+        with meter.q("build_index"):
+            manifest = build(
+                spark,
+                synthetic_docs_src(spark, bench_docs),
+                out,
+                write_chunks=True,
+            )
         n_terms = int(manifest["phases"]["index"]["terms"])
 
         cat = Catalog(spark, out)
@@ -130,24 +146,22 @@ def main() -> int:
 
         # ---- q2-q5: BM25 from merged vs chunked artifacts.  'common'
         # is the ~95%-df stopword => the salted multi-chunk path. ----
-        t0 = time.time()
-        topk_bm25(spark, index, docs, stats, "common alpha", mode="and", k=10).collect()
-        timings["bm25_and"] = time.time() - t0
-        t0 = time.time()
-        topk_bm25(
-            spark, index, docs, stats, "alpha beta gamma", mode="or", k=10
-        ).collect()
-        timings["bm25_or"] = time.time() - t0
-        t0 = time.time()
-        topk_bm25_chunked(
-            spark, chunks, docs, stats, "common alpha", mode="and", k=10
-        ).collect()
-        timings["bm25_and_chunked"] = time.time() - t0
-        t0 = time.time()
-        topk_bm25_chunked(
-            spark, chunks, docs, stats, "alpha beta gamma", mode="or", k=10
-        ).collect()
-        timings["bm25_or_chunked"] = time.time() - t0
+        with meter.q("bm25_and"):
+            topk_bm25(
+                spark, index, docs, stats, "common alpha", mode="and", k=10
+            ).collect()
+        with meter.q("bm25_or"):
+            topk_bm25(
+                spark, index, docs, stats, "alpha beta gamma", mode="or", k=10
+            ).collect()
+        with meter.q("bm25_and_chunked"):
+            topk_bm25_chunked(
+                spark, chunks, docs, stats, "common alpha", mode="and", k=10
+            ).collect()
+        with meter.q("bm25_or_chunked"):
+            topk_bm25_chunked(
+                spark, chunks, docs, stats, "alpha beta gamma", mode="or", k=10
+            ).collect()
 
         # ---- q5b: disjunctive BMW — two rare (light) terms + the ~95%
         # stopword (heavy, negative IDF): candidate+block-max pruning
@@ -156,33 +170,30 @@ def main() -> int:
         # below its auto threshold (at 100k docs its 2 extra driver
         # jobs cost more than the skipped decode saves — which is
         # exactly why the default is "auto", off below the measured
-        # ~30M-doc crossover — scripts/bench_bmw.py, BENCH/SCALE.md);
-        # the unpruned variant is timed for the contrast. ----
-        t0 = time.time()
-        topk_bm25_chunked(
-            spark, chunks, docs, stats, "rare0007 rare0123 common",
-            mode="or", k=10, or_prune=True,
-        ).collect()
-        timings["bm25_or_bmw"] = time.time() - t0
-        t0 = time.time()
-        topk_bm25_chunked(
-            spark, chunks, docs, stats, "rare0007 rare0123 common",
-            mode="or", k=10, or_prune=False,
-        ).collect()
-        timings["bm25_or_nobmw"] = time.time() - t0
+        # crossover — scripts/bench_bmw.py, BENCH/SCALE.md); the
+        # unpruned variant is timed for the contrast. ----
+        with meter.q("bm25_or_bmw"):
+            topk_bm25_chunked(
+                spark, chunks, docs, stats, "rare0007 rare0123 common",
+                mode="or", k=10, or_prune=True,
+            ).collect()
+        with meter.q("bm25_or_nobmw"):
+            topk_bm25_chunked(
+                spark, chunks, docs, stats, "rare0007 rare0123 common",
+                mode="or", k=10, or_prune=False,
+            ).collect()
 
         # ---- q5c: chunk-only build (merged=False) — the at-scale
         # default posture: no one-row-per-term assembly at all ----
-        t0 = time.time()
         out2 = tempfile.mkdtemp(prefix="bench_idx_chunks_")
         try:
-            build(
-                spark,
-                synthetic_docs_src(spark, bench_docs),
-                out2,
-                merged=False,
-            )
-            timings["build_chunks_only"] = time.time() - t0
+            with meter.q("build_chunks_only"):
+                build(
+                    spark,
+                    synthetic_docs_src(spark, bench_docs),
+                    out2,
+                    merged=False,
+                )
         finally:
             shutil.rmtree(out2, ignore_errors=True)
 
@@ -190,10 +201,10 @@ def main() -> int:
         # big enough that the heavy 'common' list (~950k postings)
         # spans many chunks, and every auto pruning decision runs LIVE
         # (at 1M docs auto keeps both pruners OFF, matching the
-        # measured ~30M-doc crossover; the forced-BMW entry shows the
-        # overhead auto avoids).  FIXTURES oracle token profile keeps
-        # the heavy/light dfs identical to the scaling corpus while
-        # the build stays bench-affordable. ----
+        # measured crossover; the forced-BMW entry shows the overhead
+        # auto avoids).  FIXTURES oracle token profile keeps the
+        # heavy/light dfs identical to the scaling corpus while the
+        # build stays bench-affordable. ----
         big_docs = int(os.environ.get("SPARK_GRAFT_BIG_DOCS", "1000000"))
         if big_docs:
             from invertedindexbuilder_spark.operators.query_batch import (
@@ -202,39 +213,35 @@ def main() -> int:
 
             out3 = tempfile.mkdtemp(prefix="bench_idx_big_")
             try:
-                t0 = time.time()
-                build(
-                    spark,
-                    synthetic_docs_src(spark, big_docs),
-                    out3,
-                    merged=False,
-                )
-                timings["big_build_chunks"] = time.time() - t0
+                with meter.q("big_build_chunks"):
+                    build(
+                        spark,
+                        synthetic_docs_src(spark, big_docs),
+                        out3,
+                        merged=False,
+                    )
                 cat3 = Catalog(spark, out3)
                 chunks3 = cat3.read("index_chunks").cache()
                 docs3 = cat3.read("docs").select("doc_id", "doc_len").cache()
                 chunks3.count(), docs3.count()
                 stats3 = load_stats(spark, out3)
 
-                t0 = time.time()
-                topk_bm25_chunked(
-                    spark, chunks3, docs3, stats3, "common rare0007",
-                    mode="and", k=10,
-                ).collect()
-                timings["big_bm25_and"] = time.time() - t0
-                t0 = time.time()
-                topk_bm25_chunked(
-                    spark, chunks3, docs3, stats3,
-                    "rare0007 rare0123 common", mode="or", k=10,
-                ).collect()
-                timings["big_bm25_or"] = time.time() - t0
-                t0 = time.time()
-                topk_bm25_chunked(
-                    spark, chunks3, docs3, stats3,
-                    "rare0007 rare0123 common", mode="or", k=10,
-                    or_prune=True,
-                ).collect()
-                timings["big_bm25_or_bmw_forced"] = time.time() - t0
+                with meter.q("big_bm25_and"):
+                    topk_bm25_chunked(
+                        spark, chunks3, docs3, stats3, "common rare0007",
+                        mode="and", k=10,
+                    ).collect()
+                with meter.q("big_bm25_or"):
+                    topk_bm25_chunked(
+                        spark, chunks3, docs3, stats3,
+                        "rare0007 rare0123 common", mode="or", k=10,
+                    ).collect()
+                with meter.q("big_bm25_or_bmw_forced"):
+                    topk_bm25_chunked(
+                        spark, chunks3, docs3, stats3,
+                        "rare0007 rare0123 common", mode="or", k=10,
+                        or_prune=True,
+                    ).collect()
                 qtab = spark.createDataFrame(
                     [
                         (0, "common rare0007"),
@@ -243,11 +250,10 @@ def main() -> int:
                     ],
                     "query_id long, text string",
                 )
-                t0 = time.time()
-                topk_bm25_batch(
-                    spark, chunks3, docs3, stats3, qtab, mode="and", k=10
-                ).collect()
-                timings["big_bm25_batch_and"] = time.time() - t0
+                with meter.q("big_bm25_batch_and"):
+                    topk_bm25_batch(
+                        spark, chunks3, docs3, stats3, qtab, mode="and", k=10
+                    ).collect()
                 chunks3.unpersist()
                 docs3.unpersist()
             finally:
@@ -255,19 +261,19 @@ def main() -> int:
 
         # ---- q6: minhash-LSH near-dup over the shared documents table
         # (md5 = oracle-comparable mode; xxhash = production fast path) ----
-        t0 = time.time()
-        minhash_dedup(documents.select("doc_id", "text"), threshold=0.6).count()
-        timings["dedup_minhash"] = time.time() - t0
-        t0 = time.time()
-        minhash_dedup(
-            documents.select("doc_id", "text"), threshold=0.6, hash_mode="xxhash"
-        ).count()
-        timings["dedup_minhash_xx"] = time.time() - t0
+        with meter.q("dedup_minhash"):
+            minhash_dedup(
+                documents.select("doc_id", "text"), threshold=0.6
+            ).count()
+        with meter.q("dedup_minhash_xx"):
+            minhash_dedup(
+                documents.select("doc_id", "text"), threshold=0.6,
+                hash_mode="xxhash",
+            ).count()
 
         # ---- q7: brute-force cosine top-k over embeddings ----
-        t0 = time.time()
-        cosine_topk(embeddings, query_vec_id=0, k=10).collect()
-        timings["ann_cosine"] = time.time() - t0
+        with meter.q("ann_cosine"):
+            cosine_topk(embeddings, query_vec_id=0, k=10).collect()
 
         # ---- q8: curation + search extensions over documents ----
         from invertedindexbuilder_spark.operators.curation import (
@@ -280,21 +286,17 @@ def main() -> int:
         )
 
         d = documents.select("doc_id", "text")
-        t0 = time.time()
-        repetition_stats(d).count()
-        timings["repetition_stats"] = time.time() - t0
-        t0 = time.time()
-        decontaminate(
-            d.filter(F.col("doc_id") % 97 != 0),
-            d.filter(F.col("doc_id") % 97 == 0),
-        ).count()
-        timings["decontaminate"] = time.time() - t0
-        t0 = time.time()
-        phrase_match(d, "slow hash batch").count()
-        timings["phrase_search"] = time.time() - t0
-        t0 = time.time()
-        substring_search(d, "le part").count()
-        timings["substring_search"] = time.time() - t0
+        with meter.q("repetition_stats"):
+            repetition_stats(d).count()
+        with meter.q("decontaminate"):
+            decontaminate(
+                d.filter(F.col("doc_id") % 97 != 0),
+                d.filter(F.col("doc_id") % 97 == 0),
+            ).count()
+        with meter.q("phrase_search"):
+            phrase_match(d, "slow hash batch").count()
+        with meter.q("substring_search"):
+            substring_search(d, "le part").count()
 
         # served variants from the STORED search tables (r4: written by
         # plans.build.build_search_tables, the build_index.py
@@ -314,29 +316,29 @@ def main() -> int:
         try:
             build_search_tables(spark, d, sroot)
             st = load_search_tables(spark, sroot)
-            t0 = time.time()
-            substring_search(
-                d, "le part", trigrams=st["char_trigrams"]
-            ).count()
-            timings["substring_search_indexed"] = time.time() - t0
-            t0 = time.time()
-            phrase_match(
-                d, "slow hash batch", postings=st["positional_postings"]
-            ).count()
-            timings["phrase_search_indexed"] = time.time() - t0
-            t0 = time.time()
-            related_terms(
-                None, "data", doc_terms=st["doc_terms"],
-                dfs=st["term_dfs"], n_docs=st["n_docs"],
-            ).count()
-            timings["related_terms_indexed"] = time.time() - t0
+            with meter.q("substring_search_indexed"):
+                substring_search(
+                    d, "le part", trigrams=st["char_trigrams"]
+                ).count()
+            with meter.q("phrase_search_indexed"):
+                phrase_match(
+                    d, "slow hash batch", postings=st["positional_postings"]
+                ).count()
+            with meter.q("related_terms_indexed"):
+                related_terms(
+                    None, "data", doc_terms=st["doc_terms"],
+                    dfs=st["term_dfs"], n_docs=st["n_docs"],
+                ).count()
         finally:
             shutil.rmtree(sroot, ignore_errors=True)
 
         total = time.time() - t_all
+        timings = meter.timings
         build_s = timings["build_index"]
-        canary_end = _cpu_canary()
+        canary_end = cpu_canary()
+        canary8_end = cpu_canary_mt(8)
         canary = min(canary_start, canary_end)
+        canary8 = min(canary8_start, canary8_end)
         print(
             json.dumps(
                 {
@@ -347,12 +349,30 @@ def main() -> int:
                     # host-speed self-calibration: fixed sha256 loop at
                     # suite start/end; queries_canary_norm = sec per
                     # canary-sec (unitless) — compare THIS across
-                    # rounds, raw seconds only within one run
+                    # rounds, raw seconds only within one run.
+                    # canary8_*: the same per-thread workload on 8
+                    # threads — its ratio to the single-thread canary
+                    # is the multi-core throttle factor (1.0 = none)
                     "canary_sec": canary,
                     "canary_sec_start": canary_start,
                     "canary_sec_end": canary_end,
+                    "canary8_sec": canary8,
+                    "canary8_sec_start": canary8_start,
+                    "canary8_sec_end": canary8_end,
+                    "mt_throttle": round(canary8 / canary, 3),
                     "queries_canary_norm": {
                         k: round(v / canary, 2) for k, v in timings.items()
+                    },
+                    # JVM read bytes per query (/proc io; see
+                    # benchmetrics.py for why task inputMetrics can't
+                    # see vectorized local parquet reads).  rchar =
+                    # logical read syscalls (page-cache hits included);
+                    # disk_read = physical block-device bytes (~0 warm)
+                    "queries_rchar_mb": {
+                        k: round(v / 1e6, 2) for k, v in meter.rchar.items()
+                    },
+                    "queries_disk_read_mb": {
+                        k: round(v / 1e6, 2) for k, v in meter.disk.items()
                     },
                     "sf": sf,
                     "docs": n_docs_sf,

@@ -11,10 +11,21 @@ the same disjunctive query with pruning forced ON vs OFF, plus the
 conjunctive candidate-decode path ON vs OFF.
 
     python scripts/bench_bmw.py [--sizes 100000,300000,1000000]
-                                [--cores 32] [--reps 3] [--keep]
+                                [--cores 32] [--reps 3] [--keep] [--cold]
 
 Prints one JSON line per size plus a summary line; indexes cached under
 /tmp/iib_bmw (``--keep`` leaves them for reuse across runs).
+
+Every variant also reports the JVM's READ BYTES (benchmetrics.JvmIOMeter,
+VERDICT r6 #2): ``*_rchar_mb`` = logical read syscalls (the bytes the
+query REQUESTS — page-cache hits included; at 100 TB on object storage
+these are billable GETs), ``*_disk_mb`` = physical block-device bytes.
+``--cold`` models that remote/cold tier on this box: Spark-side caching
+is disabled and the OS page cache is dropped before every rep, so the
+disk column IS the IO each query pays — the measurement the 500M OR
+auto-prune floor needs (its in-memory extrapolation has no winning BMW
+point under the r6 decoder; cold reads are where skipped blocks become
+skipped IO).
 """
 
 from __future__ import annotations
@@ -91,13 +102,26 @@ def ensure_index(spark, n_docs: int) -> str:
     return out
 
 
-def timed(fn, reps: int) -> float:
-    best = float("inf")
+def timed(fn, reps: int, io=None, cold: bool = False):
+    """Best-of-reps seconds + the best rep's JVM read-byte deltas.
+    ``cold`` drops the OS page cache before EVERY rep (benchmetrics.
+    drop_page_cache), so each rep pays its real disk reads."""
+    from invertedindexbuilder_spark.benchmetrics import drop_page_cache
+
+    best, best_io = float("inf"), {"rchar": 0, "read_bytes": 0}
     for _ in range(reps):
+        if cold and not drop_page_cache():
+            print("# --cold requested but drop_caches unavailable",
+                  file=sys.stderr)
+        if io is not None:
+            io.delta()
         t0 = time.time()
         fn()
-        best = min(best, time.time() - t0)
-    return round(best, 3)
+        dt = time.time() - t0
+        d = io.delta() if io is not None else best_io
+        if dt < best:
+            best, best_io = dt, d
+    return round(best, 3), best_io
 
 
 def main() -> int:
@@ -106,6 +130,12 @@ def main() -> int:
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--cold", action="store_true",
+                    help="cold-read protocol: no Spark-side caching of "
+                         "chunks/docs, OS page cache dropped before "
+                         "every rep — disk bytes become the IO each "
+                         "query actually pays (the object-storage "
+                         "cost model)")
     ap.add_argument("--heavies", type=int, default=1,
                     help="number of ~0.95N-df heavy lists in the OR "
                          "query (default 1 = just 'common'); >1 appends "
@@ -134,9 +164,16 @@ def main() -> int:
         out = ensure_index(spark, n)
         spark.conf.set("spark.sql.shuffle.partitions", str(args.cores))
         cat = Catalog(spark, out)
-        chunks = cat.read("index_chunks").cache()
-        docs = cat.read("docs").select("doc_id", "doc_len").cache()
-        chunks.count(), docs.count()
+        chunks = cat.read("index_chunks")
+        docs = cat.read("docs").select("doc_id", "doc_len")
+        if args.cold:
+            # no executor-memory caching: every rep's chunk reads hit
+            # the (dropped) page cache, i.e. the disk — the serving
+            # posture of an index too big for cluster RAM
+            chunks.count(), docs.count()
+        else:
+            chunks, docs = chunks.cache(), docs.cache()
+            chunks.count(), docs.count()
         stats = load_stats(spark, out)
 
         def run(query, mode, **kw):
@@ -144,26 +181,36 @@ def main() -> int:
                 spark, chunks, docs, stats, query, mode=mode, k=10, **kw
             ).collect()
 
-        # warm both paths once (python workers / codegen) outside the clock
+        # warm both paths once (python workers / codegen) outside the
+        # clock — under --cold the page cache is re-dropped per rep, so
+        # this only warms code, not data
         run(or_query, "or", or_prune=True)()
         run(or_query, "or", or_prune=False)()
-        # host-speed canary (bench.py's fixed sha256 loop) stamped per
-        # size so crossover re-measurements are host-normalizable
-        from bench import _cpu_canary
+        # host-speed canary (benchmetrics' fixed sha256 loop) stamped
+        # per size so crossover re-measurements are host-normalizable
+        from invertedindexbuilder_spark.benchmetrics import (
+            JvmIOMeter,
+            cpu_canary as _cpu_canary,
+        )
 
+        io = JvmIOMeter()
         row = {
             "n_docs": n,
             "heavies": args.heavies,
+            "cold": bool(args.cold),
             "canary_sec": _cpu_canary(),
-            "or_bmw": timed(run(or_query, "or", or_prune=True), args.reps),
-            "or_full": timed(run(or_query, "or", or_prune=False), args.reps),
-            "and_prune": timed(
-                run(AND_QUERY, "and", and_prune=True), args.reps
-            ),
-            "and_full": timed(
-                run(AND_QUERY, "and", and_prune=False), args.reps
-            ),
         }
+        for name, q, mode, kw in (
+            ("or_bmw", or_query, "or", {"or_prune": True}),
+            ("or_full", or_query, "or", {"or_prune": False}),
+            ("and_prune", AND_QUERY, "and", {"and_prune": True}),
+            ("and_full", AND_QUERY, "and", {"and_prune": False}),
+        ):
+            sec, b = timed(run(q, mode, **kw), args.reps, io=io,
+                           cold=args.cold)
+            row[name] = sec
+            row[f"{name}_rchar_mb"] = round(b["rchar"] / 1e6, 2)
+            row[f"{name}_disk_mb"] = round(b["read_bytes"] / 1e6, 2)
         row["or_bmw_minus_full"] = round(row["or_bmw"] - row["or_full"], 3)
         row["and_prune_minus_full"] = round(
             row["and_prune"] - row["and_full"], 3

@@ -79,7 +79,7 @@ def main() -> int:
                          "flag exists for symmetry with bench_bmw)")
     args = ap.parse_args()
 
-    from bench import _cpu_canary
+    from invertedindexbuilder_spark.benchmetrics import cpu_canary as _cpu_canary
     from invertedindexbuilder_spark.operators.local_query import (
         LocalIndex,
         topk_local,

@@ -70,7 +70,7 @@ def main() -> int:
     ap.add_argument("--patterns", default="clustered,scattered")
     args = ap.parse_args()
 
-    from bench import _cpu_canary
+    from invertedindexbuilder_spark.benchmetrics import cpu_canary as _cpu_canary
     from bench_local_query import ensure_index
     from invertedindexbuilder_spark.plans.deletes import (
         delete_docs,

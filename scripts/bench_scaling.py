@@ -122,7 +122,7 @@ def main() -> int:
     # host-speed canary per pair (same fixed sha256 loop as bench.py):
     # lets a cross-round reader separate VM drift from code drift
     sys.path.insert(0, REPO)
-    from bench import _cpu_canary
+    from invertedindexbuilder_spark.benchmetrics import cpu_canary as _cpu_canary
 
     pairs = []
     for rep in range(max(1, args.reps)):
