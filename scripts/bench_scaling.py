@@ -104,6 +104,15 @@ def main() -> int:
                     help="back-to-back pinned pairs (VERDICT r4 #6: one "
                          "pair is inside this VM's ±15%% noise band; "
                          "median-of-5 is the reportable number)")
+    ap.add_argument("--canary-band", type=float, default=1.10,
+                    help="quiet-window gate (VERDICT r6 #7): a pair is "
+                         "RECORDED only if the canary at its start AND "
+                         "end are within this factor of the session's "
+                         "fastest canary; noisier pairs are discarded "
+                         "and rerun (count disclosed)")
+    ap.add_argument("--max-discards", type=int, default=4,
+                    help="rerun budget for noisy pairs; exhausted -> "
+                         "remaining pairs record with quiet=false flags")
     ap.add_argument("--n", type=int, default=4,
                     help="small parallelism (large = 4x this). Default "
                          "4 vs 16: this VM's aggregate clock throttles "
@@ -119,21 +128,46 @@ def main() -> int:
         gen_corpus(args.docs, corpus)
     zpath = make_zip()
 
-    # host-speed canary per pair (same fixed sha256 loop as bench.py):
-    # lets a cross-round reader separate VM drift from code drift
+    # host-speed canary bracketing every pair (same fixed sha256 loop
+    # as bench.py): the quiet-window gate (VERDICT r6 #7) makes the
+    # memory'd "scaling runs need a quiet machine" rule EXECUTABLE —
+    # instead of explaining outliers after the fact, a pair whose
+    # start or end canary falls outside --canary-band of the session's
+    # fastest canary is discarded and rerun, and the discard count is
+    # disclosed in the output and the md table
     sys.path.insert(0, REPO)
-    from invertedindexbuilder_spark.benchmetrics import cpu_canary as _cpu_canary
+    from invertedindexbuilder_spark.benchmetrics import (
+        cpu_canary as _cpu_canary,
+    )
 
     pairs = []
-    for rep in range(max(1, args.reps)):
-        canary = _cpu_canary()
+    discarded = []
+    session_min = float("inf")
+    want = max(1, args.reps)
+    while len(pairs) < want:
+        c0 = _cpu_canary()
         r8 = run_build(args.n, corpus, zpath, args.tokenizer)
         r32 = run_build(args.n * 4, corpus, zpath, args.tokenizer)
+        c1 = _cpu_canary()
+        session_min = min(session_min, c0, c1)
+        quiet = max(c0, c1) <= args.canary_band * session_min
         e = r32["docs_per_sec"] / (4.0 * r8["docs_per_sec"])
-        pairs.append({"rep": rep, "canary_sec": canary, "small": r8,
-                      "large": r32, "eff": round(e, 3)})
-        print(json.dumps({"rep": rep, "eff": pairs[-1]["eff"],
-                          "canary_sec": canary,
+        pair = {"rep": len(pairs), "canary_sec": c0,
+                "canary_sec_end": c1, "quiet": quiet, "small": r8,
+                "large": r32, "eff": round(e, 3)}
+        budget_left = len(discarded) < args.max_discards
+        if not quiet and budget_left:
+            discarded.append(pair)
+            print(json.dumps({"discarded": True, "eff": pair["eff"],
+                              "canary_start": c0, "canary_end": c1,
+                              "band_max": round(
+                                  args.canary_band * session_min, 4)}),
+                  file=sys.stderr)
+            continue
+        pairs.append(pair)
+        print(json.dumps({"rep": pair["rep"], "eff": pair["eff"],
+                          "canary_sec": c0, "canary_sec_end": c1,
+                          "quiet": quiet,
                           "small_dps": r8["docs_per_sec"],
                           "large_dps": r32["docs_per_sec"]}),
               file=sys.stderr)
@@ -153,6 +187,10 @@ def main() -> int:
         "scaling_efficiency": med,
         "scaling_efficiency_pairs": [p["eff"] for p in pairs],
         "canary_secs": [p["canary_sec"] for p in pairs],
+        "canary_band": args.canary_band,
+        "discarded_pairs": len(discarded),
+        "discarded_effs": [p["eff"] for p in discarded],
+        "nonquiet_recorded": sum(1 for p in pairs if not p["quiet"]),
     }
     print(json.dumps(result))
     if args.no_md:
@@ -160,10 +198,23 @@ def main() -> int:
 
     n, n4 = args.n, args.n * 4
     pairs_md = "\n".join(
-        f"| {p['rep'] + 1} | {p['canary_sec']} | "
+        f"| {p['rep'] + 1} | {p['canary_sec']} | {p['canary_sec_end']} | "
+        f"{'yes' if p['quiet'] else 'NO'} | "
         f"{p['small']['docs_per_sec']} | {p['large']['docs_per_sec']} | "
         f"{p['eff']:.3f} |"
         for p in pairs
+    )
+    disc_effs = ", ".join("{:.3f}".format(p["eff"]) for p in discarded)
+    n_nonquiet = sum(1 for p in pairs if not p["quiet"])
+    disc_md = (
+        f"Quiet-window gate: a pair records only if its start AND end "
+        f"canary are within {args.canary_band:.2f}x of the session's "
+        f"fastest canary ({session_min:.4f} s); **{len(discarded)} "
+        f"pair(s) discarded and rerun** under that band"
+        + (f" (discarded efficiencies: {disc_effs})" if discarded else "")
+        + (f"; rerun budget exhausted — {n_nonquiet} recorded pair(s) "
+           f"are flagged non-quiet" if n_nonquiet else "")
+        + "."
     )
     md = f"""# BENCH/BASELINE — measured numbers (this engine)
 
@@ -184,12 +235,15 @@ two parallelism levels on the same parquet corpus
 = {eff:.3f}** (target >= 0.8; headline row = the median pair below).
 
 All {len(pairs)} back-to-back pinned pair(s) (VERDICT r4 #6 — one pair sits
-inside this VM's noise band; the canary is bench.py's fixed single-thread
-sha256 loop, smaller = faster host at that moment):
+inside this VM's noise band; the canary is benchmetrics' fixed
+single-thread sha256 loop, smaller = faster host at that moment,
+bracketing each pair at start AND end):
 
-| pair | canary (s) | local[{n}] docs/s | local[{n4}] docs/s | efficiency |
-|---|---|---|---|---|
+| pair | canary start (s) | canary end (s) | quiet | local[{n}] docs/s | local[{n4}] docs/s | efficiency |
+|---|---|---|---|---|---|---|
 {pairs_md}
+
+{disc_md}
 
 **Median efficiency = {med:.3f}**, spread {effs[0]:.3f}-{effs[-1]:.3f}.
 
