@@ -26,6 +26,9 @@ Coverage map (SURVEY §2 rows -> queries):
                                bm25_and_deleted (tombstones),
                                search_dfs_purged (search tables
                                rewritten in the purge flip)
+  purge id_remap (r7)       -> purge_id_remap (old->new survivor map
+                               published in the purge flip for CDC
+                               upstream resync)
   boolean NOT / facets (r3) -> bm25_and_not, bm25_filtered
   S4 sampling               -> sample_mod10
   training-data extensions  -> dedup_exact, dedup_jaccard,

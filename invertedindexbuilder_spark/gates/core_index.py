@@ -279,6 +279,36 @@ def queries() -> dict:
             _sh.rmtree(root, ignore_errors=True)
         return out
 
+    def purge_id_remap(spark, sf_dir):
+        # r7: the purge's atomic flip publishes an id_remap table
+        # (old_doc_id -> new_doc_id, survivors only) so a CDC upstream
+        # holding pre-assigned ids resyncs with one join on its own
+        # ids (plans/deletes.py).  The oracle computes the same dense
+        # remap with row_number over the surviving ids.
+        import shutil as _sh
+        import tempfile as _tf
+
+        from invertedindexbuilder_spark.catalog import Catalog
+        from invertedindexbuilder_spark.plans.deletes import (
+            delete_docs,
+            purge_deletes,
+        )
+
+        d = (
+            documents(spark, sf_dir)
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 150)
+        )
+        root = _tf.mkdtemp(prefix="gate_idremap_")
+        try:
+            _make_min_catalog(spark, d, root)
+            delete_docs(spark, root, [i for i in range(150) if i % 11 == 2])
+            purge_deletes(spark, root)
+            out = Catalog(spark, root).read("id_remap").localCheckpoint()
+        finally:
+            _sh.rmtree(root, ignore_errors=True)
+        return out
+
     return {
         "index_compacted": index_compacted,
         "index_federated": index_federated,
@@ -291,6 +321,7 @@ def queries() -> dict:
         "search_dfs_compacted": search_dfs_compacted,
         "index_purged": index_purged,
         "search_dfs_purged": search_dfs_purged,
+        "purge_id_remap": purge_id_remap,
     }
 
 
@@ -358,6 +389,14 @@ def oracle_sql() -> dict:
             "SELECT DISTINCT doc_id, unnest(regexp_extract_all("
             "lower(text), '[a-z0-9]+')) AS t FROM documents "
             "WHERE doc_id < 120 AND doc_id % 13 <> 1) GROUP BY t"
+        ),
+        # the purge's published old->new survivor map IS the dense
+        # remap: row_number over surviving ids in id order
+        "purge_id_remap": (
+            "SELECT doc_id::BIGINT AS old_doc_id, "
+            "(row_number() OVER (ORDER BY doc_id) - 1)::BIGINT "
+            "AS new_doc_id FROM documents "
+            "WHERE doc_id < 150 AND doc_id % 11 <> 2"
         ),
         "index_compacted": (
             f"WITH {TOKENIZE_CTE} SELECT term, count(*)::BIGINT AS df, "

@@ -100,12 +100,18 @@ def main() -> int:
         shutil.copytree(base, work)
         touch = touched_chunks(spark, work, deleted)
         canary = _cpu_canary()
+        from invertedindexbuilder_spark.benchmetrics import JvmIOMeter
+
+        io = JvmIOMeter()
+        io.delta()
         t0 = time.time()
         delete_docs(spark, work, deleted)
         t_tomb = time.time() - t0
+        io.delta()
         t0 = time.time()
         out = purge_deletes(spark, work)
         t_purge = time.time() - t0
+        purge_io = io.delta()
         print(json.dumps({
             "pattern": name,
             "n_docs_indexed": args.docs,
@@ -116,6 +122,11 @@ def main() -> int:
             ),
             "tombstone_s": round(t_tomb, 2),
             "purge_s": round(t_purge, 2),
+            # VERDICT r6 #2: byte-grounded shift-path claim — the JVM's
+            # logical read bytes over the purge (index + docs + search
+            # tables in, rewritten generation out is WRITE-side)
+            "purge_rchar_mb": round(purge_io["rchar"] / 1e6, 2),
+            "purge_disk_mb": round(purge_io["read_bytes"] / 1e6, 2),
             "canary_sec": canary,
             "n_docs_after": out["n_docs"],
             "n_purged": out["n_purged"],
