@@ -90,7 +90,15 @@ class Catalog:
         name: str,
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
+        row_group_bytes: int | None = None,
     ) -> None:
+        """``row_group_bytes``: parquet row-group size for THIS table
+        (parquet backend).  Payload-heavy tables (index chunks) use a
+        small value: the row group is both the scan-split floor (a
+        128 MB default turns a term-clustered heavy-term region into a
+        handful of fat skewed decode tasks) and the stats-pruning
+        granule (smaller groups = tighter term min/max = fewer bytes
+        read per probe)."""
         if self.iceberg:
             writer = df.writeTo(f"{self.iceberg}.{name}")
             if partition_by:
@@ -107,6 +115,8 @@ class Catalog:
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
+        if row_group_bytes:
+            w = w.option("parquet.block.size", int(row_group_bytes))
         w.parquet(self.path(name))
 
     def write_bucketed(

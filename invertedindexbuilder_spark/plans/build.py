@@ -47,6 +47,14 @@ from invertedindexbuilder_spark.operators.postings import (
 from invertedindexbuilder_spark.sources.docs_src import with_url
 
 
+# Parquet row-group size for the payload-heavy chunk table: the row
+# group is both the scan-split floor (the 128 MB default makes a term-
+# clustered heavy-term region a few fat skewed decode tasks under the
+# 16 MB maxPartitionBytes serving session) and the stats-pruning
+# granule (smaller groups = tighter per-group term min/max)
+CHUNK_ROW_GROUP_BYTES = 16 << 20
+
+
 class BuildManifest:
     """Per-phase lineage + metrics, JSON on the output root."""
 
@@ -329,7 +337,40 @@ def build(
             # (heavy terms decode one chunk per task; see
             # query_exec.topk_bm25_chunked) — and derive the merged
             # reference-parity index FROM it, so encode runs once.
-            cat.write(chunks, "index_chunks")
+            #
+            # TERM-RANGE-CLUSTERED layout (r7): the encode shuffle is
+            # hash(term, salt), so without this every parquet file
+            # holds a random term subset and its min/max stats span the
+            # whole vocabulary — a single-term payload probe then reads
+            # ~40 % of the table (measured cold on the 30M index:
+            # 693 MB for ONE chunk row; 19 MB after clustering, 36x —
+            # BENCH/SCALE.md).  repartitionByRange keeps file stats
+            # tight so the query side's pushed term predicates prune
+            # files/row-groups with NO query-side changes; (salt,
+            # first_doc_id) sub-keys let the range boundaries split a
+            # stopword's chunk run across partitions, so no write-skew.
+            # The persist bounds the cost: the range sampler and the
+            # shuffle both read the cached encode output instead of
+            # re-executing tokenize+encode (MEMORY_AND_DISK — spills,
+            # never recomputes).  Purge/compact/shift outputs are
+            # narrow maps over this table, so they inherit the layout.
+            if cat.iceberg:
+                # Iceberg tables get layout from the table's sort-order
+                # / compaction config, not from write partitioning
+                cat.write(chunks, "index_chunks",
+              row_group_bytes=CHUNK_ROW_GROUP_BYTES)
+            else:
+                from pyspark.storagelevel import StorageLevel
+
+                chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+                cat.write(
+                    chunks.repartitionByRange(
+                        "term", "salt", "first_doc_id"
+                    ).sortWithinPartitions("term", "salt", "first_doc_id"),
+                    "index_chunks",
+                    row_group_bytes=CHUNK_ROW_GROUP_BYTES,
+                )
+                chunks.unpersist()
             chunks = cat.read("index_chunks")
         if merged:
             # fanin (tree merge) needs a chunk-count pass; that is free
@@ -922,7 +963,8 @@ def compact(
         # each createOrReplace is snapshot-atomic; REPLACE TABLE runs
         # the query against the CURRENT snapshot and commits the swap
         # afterwards, so reading index_chunks while replacing it is safe
-        cat.write(new_chunks, "index_chunks")
+        cat.write(new_chunks, "index_chunks",
+                  row_group_bytes=CHUNK_ROW_GROUP_BYTES)
         postings.unpersist()
         if has_merged:
             cat.write(
@@ -942,7 +984,8 @@ def compact(
         # dirs, then flip tables.json once — the only mutation readers
         # can observe is that single atomic pointer swap
         chunks_phys = f"index_chunks.g{gen}"
-        cat.write(new_chunks, chunks_phys)
+        cat.write(new_chunks, chunks_phys,
+                  row_group_bytes=CHUNK_ROW_GROUP_BYTES)
         postings.unpersist()
         new_chunks_tbl = spark.read.parquet(cat.path(chunks_phys))
         publish_map = {"index_chunks": chunks_phys}

@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 
 from invertedindexbuilder_spark.catalog import Catalog
 from invertedindexbuilder_spark.plans.build import (
+    CHUNK_ROW_GROUP_BYTES,
     SEARCH_TABLES,
     BuildManifest,
     _write_stats,
@@ -273,7 +274,8 @@ def purge_deletes(
     has_chunks = cat.exists("index_chunks")
     if has_chunks:
         chunks_phys = f"index_chunks.g{gen}"
-        cat.write(purge_chunks(cat.read("index_chunks"), deleted), chunks_phys)
+        cat.write(purge_chunks(cat.read("index_chunks"), deleted),
+                  chunks_phys, row_group_bytes=CHUNK_ROW_GROUP_BYTES)
         new_chunks_tbl = spark.read.parquet(cat.path(chunks_phys))
         publish_map["index_chunks"] = chunks_phys
         if cat.exists("index"):
