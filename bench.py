@@ -17,11 +17,14 @@ keep running over the shared sf tables for round-over-round comparison.
 Calibration (benchmetrics.py): single-thread canary (host speed),
 8-thread canary (multi-core throttle the single-thread one can't see —
 VERDICT r6 #1), and per-query JVM read bytes — ``queries_rchar_mb`` =
-logical bytes through read syscalls (the at-scale bytes-requested
-figure, page-cache hits included), ``queries_disk_read_mb`` = physical
-block-device bytes (~0 warm).  Spark's task inputMetrics are blind to
-the vectorized local-file parquet path (see benchmetrics docstring), so
-the meter sits at /proc/<jvm>/io where nothing can bypass it.
+total bytes MOVED through read syscalls (storage + the python->JVM
+Arrow decode stream, which dominates query paths — corrected r7, see
+benchmetrics docstring; deterministic to ±0.1 % across host drift, so
+it is the adjudication-grade work measure), ``queries_disk_read_mb`` =
+physical block-device bytes (~0 warm).  Spark's task inputMetrics are
+blind to the vectorized local-file parquet path (see benchmetrics
+docstring), so the meter sits at /proc/<jvm>/io where nothing can
+bypass it.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (default 100000).
@@ -366,7 +369,8 @@ def main() -> int:
                     # JVM read bytes per query (/proc io; see
                     # benchmetrics.py for why task inputMetrics can't
                     # see vectorized local parquet reads).  rchar =
-                    # logical read syscalls (page-cache hits included);
+                    # bytes moved through read syscalls (storage + the
+                    # Arrow decode stream — a work measure, not GETs);
                     # disk_read = physical block-device bytes (~0 warm)
                     "queries_rchar_mb": {
                         k: round(v / 1e6, 2) for k, v in meter.rchar.items()

@@ -18,15 +18,21 @@ every benchmark reports the same three calibration signals:
    footers only — in ``AppStatusStore.stageList`` inputBytes AND in
    ``FileSystem.getGlobalStorageStatistics``).  So we meter at the
    layer that cannot be bypassed: the JVM process's ``/proc/<pid>/io``
-   — ``rchar`` (logical bytes through read syscalls: page-cache hits
-   included, the at-scale "bytes requested from storage" figure) and
+   — ``rchar`` (logical bytes through read syscalls) and
    ``read_bytes`` (physical block-device bytes: what a COLD read
    actually pulls — ~0 on a warm cache).  In local mode driver ==
    executors == one JVM, so its deltas are the engine's reads.
-   Caveats (documented, not hidden): rchar includes socket reads
-   (py4j/Arrow chatter — ~KBs for a top-k collect) and shuffle-spill
-   re-reads (genuine engine IO); python workers read no index bytes
-   themselves (they receive Arrow batches over sockets from the JVM).
+   INTERPRETATION (corrected r7 after the isolate experiment in
+   BENCH/SCALE.md): rchar counts reads on EVERY fd, sockets included,
+   and for query paths that decode through mapInPandas the Arrow
+   stream python->JVM DOMINATES it (measured at 30M docs: a
+   full-decode OR reads a 56 MB term payload from a 1.7 GB table yet
+   shows 1.8 GB rchar — the decoded-postings Arrow frames).  So:
+   rchar = total bytes MOVED (storage + IPC + shuffle re-reads), a
+   deterministic work measure that is stable across host drift
+   (±0.1 % across the r7 adjudication runs) but NOT a storage-GET
+   count; ``read_bytes`` under a dropped page cache (--cold) is the
+   honest object-storage-GET analog for pruning claims.
 """
 
 from __future__ import annotations

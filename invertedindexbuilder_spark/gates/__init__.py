@@ -92,11 +92,13 @@ CANONICAL_ORDER = [
     "index_purged",
     "bm25_and_deleted",
     "search_dfs_purged",
-    # r7 addition (purge id_remap): canonical-last — with 65 gates the
-    # r7 offset is (65-50)*7 % 65 = 40, so the window covers canonical
-    # indices 40..64 + 0..24: the debut (64) lands a driver row, and
+    # r7 additions (purge id_remap, disjunctive scan prune):
+    # canonical-last — with 66 gates the r7 offset is (66-50)*7 % 66 =
+    # 46, so the window covers canonical indices 46..65 + 0..29: both
+    # debuts (64, 65) land a driver row, and
     # tests/test_gate_rotation.py pins that the new step still tiles
     "purge_id_remap",
+    "bm25_or_ioprune",
 ]
 
 

@@ -116,6 +116,25 @@ def queries() -> dict:
         )
         return out.select("doc_id", "score")
 
+    def bm25_or_ioprune(spark, sf_dir):
+        # r7 two-phase disjunctive scan prune, forced ON (heavy_df
+        # lowered so sf-scale dfs classify as heavy; at sf0.01 every
+        # heavy term is negative-IDF, so this exercises the sound
+        # candidate-only branch + the chunk-granule scan skip).  The
+        # skip moves I/O, never results: the oracle is the plain OR
+        # twin.
+        from invertedindexbuilder_spark.operators.query_exec import (
+            topk_bm25_chunked,
+        )
+
+        env = built(spark, sf_dir)
+        chunks = chunked(spark, sf_dir)
+        out = topk_bm25_chunked(
+            spark, chunks, env["docs"], env["stats"], "dup batch scan",
+            mode="or", k=10, round_digits=5, or_prune=True, heavy_df=64,
+        )
+        return out.select("doc_id", "score")
+
     return {
         "bm25_and": bm25_and,
         "bm25_or": bm25_or,
@@ -128,6 +147,7 @@ def queries() -> dict:
         "bm25_and_not": bm25_and_not,
         "bm25_filtered": bm25_filtered,
         "bm25_and_deleted": bm25_and_deleted,
+        "bm25_or_ioprune": bm25_or_ioprune,
     }
 
 
@@ -162,4 +182,8 @@ def oracle_sql() -> dict:
         ),
         "bm25_batch_and": bm25_batch_sql(BATCH_AND_QUERIES, "and", 10),
         "bm25_batch_or": bm25_batch_sql(BATCH_OR_QUERIES, "or", 10),
+        # scan-pruned OR must equal the plain OR twin bit-for-bit
+        "bm25_or_ioprune": bm25_sql(
+            [("dup", 1), ("batch", 1), ("scan", 1)], "or", 10
+        ),
     }

@@ -122,6 +122,38 @@ AUTO_OR_PRUNE_MIN_DOCS = 10_000_000
 # heavy blocks are skipped reads.
 AUTO_AND_PRUNE_MIN_DOCS = 10_000_000
 
+# Two-phase disjunctive I/O pruning (r7): the block-max keep rule is
+# evaluated per CHUNK against a payload-free metadata scan, and only
+# surviving chunks enter the payload scan's pushed (term, first_doc_id)
+# predicate — so skipped chunks are skipped READS, not just skipped
+# decode (the r7 cold campaign showed decode-level BMW reading
+# byte-for-byte what full decode reads; BENCH/SCALE.md).  Driver
+# metadata stays bounded: above META_CAP collected chunk-metadata rows
+# (5 scalars each) or MAX_IDS surviving literals the path falls back to
+# the unpruned scan (correct, reads more).  A keep fraction near 1
+# also falls back — a predicate that keeps everything is pure planning
+# overhead.
+OR_IOPRUNE_META_CAP = 100_000
+OR_IOPRUNE_MAX_IDS = 20_000
+OR_IOPRUNE_KEEP_FRAC = 0.95
+# Candidate sets at or below this size fetch doc_lens through a
+# doc_id-PUSHED scan of the docs table (whose files are
+# doc_id-contiguous by construction: ids come from the build's range
+# shuffle) instead of a full corpus-scale doc_len pass — the r7 needle
+# campaign measured the pruned OR path's three full doc_len passes as
+# MOST of its cold bytes.  Above the cap the broadcast-hash join over
+# the full docs scan remains.  MUST stay below session.py's
+# inFilterThreshold (1024): parquet-mr evaluates a pushed In as a
+# recursive Or chain, and a 8.8k-literal push stack-overflowed
+# executor tasks at 30M docs (r7).
+DOCLEN_PUSH_CAP = 1000
+# Chunk-count approximation for the rare-candidate auto rule: the
+# adaptive salter caps a chunk at ~1M postings, so a heavy term spans
+# about df/1M chunk rows.  Deliberately the CAP, not the build's
+# effective chunk size — underestimating chunk count only delays
+# engagement (never engages a hopeless prune).
+APPROX_CHUNK_POSTINGS = 1_000_000
+
 # Serving-config overrides (VERDICT r6 #3): the module constants above
 # are MEASURED floors for THIS box's decode generation and page-cache
 # storage; SCALE.md tells a cluster operator to recalibrate with
@@ -278,6 +310,172 @@ def _full_list_ub(mt: float, df: int, weight: int, n_docs: int,
     return weight * t_idf * (BM25_K1 + 1.0) * mt / denom
 
 
+def _doc_lens_for(docs: DataFrame, ids: np.ndarray) -> dict[int, float]:
+    """doc_len lookup for a BOUNDED doc_id set.  Small sets push an
+    In-list into the docs scan (row-group pruning via the table's
+    naturally tight per-file doc_id stats); large sets keep the
+    broadcast-hash join over the full docs scan.  Inner-join parity:
+    ids missing from ``docs`` (dropped by a doc_filter) are absent from
+    the result and must not score."""
+    base = docs.select("doc_id", "doc_len")
+    if ids.size <= DOCLEN_PUSH_CAP:
+        rows = base.filter(
+            F.col("doc_id").isin([int(x) for x in ids])
+        ).collect()
+    else:
+        ids_df = docs.sparkSession.createDataFrame(
+            [(int(x),) for x in ids], "doc_id long"
+        )
+        rows = base.join(F.broadcast(ids_df), "doc_id").collect()
+    return {r["doc_id"]: float(r["doc_len"]) for r in rows}
+
+
+def _driver_contribs(
+    rows, dl_map: dict[int, float], n_docs: int, davr: float
+) -> dict[int, float]:
+    """Per-doc summed BM25 contributions for COLLECTED posting rows
+    (doc_id, df, weight, tf) — float64 in :func:`bm25_expr`'s exact op
+    order, so driver-computed theta/bound decisions see the same values
+    the distributed scorer would.  Docs absent from ``dl_map`` are
+    skipped (inner-join parity with the old docs-join pass)."""
+    p: dict[int, float] = {}
+    idf_cache: dict[int, float] = {}
+    for r in rows:
+        dl = dl_map.get(r["doc_id"])
+        if dl is None:
+            continue
+        df = int(r["df"])
+        t_idf = idf_cache.get(df)
+        if t_idf is None:
+            t_idf = idf_cache[df] = float(_idf(df, n_docs))
+        tf = float(r["tf"])
+        denom = BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / davr) + tf
+        p[r["doc_id"]] = p.get(r["doc_id"], 0.0) + int(r["weight"]) * (
+            t_idf * (BM25_K1 + 1.0) * tf / denom
+        )
+    return p
+
+
+def _chunk_ioprune_filter(
+    spark: SparkSession,
+    chunks: DataFrame,
+    winners: dict,
+    strict: bool,
+    heavy_keys: list[str],
+    theta: float,
+    cand_sorted: np.ndarray,
+    others_ub: dict[str, float],
+    n_docs: int,
+    min_doc_len: float,
+    davr: float,
+    counters: dict | None = None,
+    cand_only: bool = False,
+):
+    """Chunk-granule form of the BMW keep rule, evaluated BEFORE the
+    payload read (r7) — returns a pushable Column over (term,
+    first_doc_id) selecting only the heavy chunks that can matter, or
+    None when pruning cannot help / cannot stay bounded (caller uses
+    the unpruned scan — correct, reads more).
+
+    One payload-free metadata job (parquet column pruning keeps the
+    scan to five scalar columns; the clustered layout prunes its files
+    by term) collects per-chunk (first_doc_id, last_doc, chunk max_tf)
+    for the heavy keys.  A chunk survives iff it may hold a CANDIDATE
+    doc or its chunk-level score upper bound plus the other heavy
+    lists' full-list bounds reaches theta.  The chunk upper bound is
+    the max of its blocks' bounds (the ub formula is monotonic in
+    max_tf), and chunk candidate-overlap contains block overlap, so
+    chunk-keep ⊇ block-keep: `decode_matched_rows_bmw` downstream sees
+    every block it would have kept — results are bit-identical, only
+    the bytes read change.  With ``cand_only`` (the negative-IDF
+    branch) the ub leg is dropped: that branch emits candidate
+    postings only, so candidate-free chunks contribute nothing.
+
+    Reference anchor: the per-block skip metadata
+    (inverted_list.c:36-77) exists for read-skipping; this is the form
+    of it that a columnar scan engine can actually convert to skipped
+    bytes (pushed predicate + row-group/page stats), where the
+    decode-level rule cannot (payload and metadata share rows).
+    """
+    weights = {k: winners[k]["weight"] for k in heavy_keys}
+    meta_scan = _match_keys(
+        chunks.select(
+            "term",
+            "first_doc_id",
+            F.element_at("last_doc_ids", -1).alias("last_doc"),
+            F.array_max("max_tf").alias("cmt"),
+        ),
+        weights,
+        strict,
+    )
+    wdf = spark.createDataFrame(
+        [(k, winners[k]["term"]) for k in heavy_keys],
+        schema="key string, term string",
+    )
+    rows = (
+        meta_scan.join(F.broadcast(wdf), ["key", "term"])
+        .select("key", "first_doc_id", "last_doc", "cmt")
+        .limit(OR_IOPRUNE_META_CAP + 1)
+        .collect()
+    )
+    if len(rows) > OR_IOPRUNE_META_CAP:
+        return None
+    cand = np.asarray(cand_sorted, dtype=np.int64)
+    keys = np.array([r["key"] for r in rows])
+    first = np.array([r["first_doc_id"] for r in rows], dtype=np.int64)
+    last = np.array([r["last_doc"] for r in rows], dtype=np.int64)
+    cmt = np.array([r["cmt"] for r in rows], dtype=np.float64)
+
+    # candidate overlap: any cand in [first, last]
+    has_cand = np.searchsorted(cand, last, side="right") > np.searchsorted(
+        cand, first, side="left"
+    )
+    keep = has_cand
+    if not cand_only:
+        keep = keep.copy()
+        for k in heavy_keys:
+            m = keys == k
+            if not m.any():
+                continue
+            w = winners[k]
+            t_idf = float(_idf(int(w["term_df"]), n_docs))
+            if t_idf <= 0:
+                ub = np.zeros(int(m.sum()))
+            else:
+                denom = (
+                    BM25_K1 * ((1.0 - BM25_B) + BM25_B * min_doc_len / davr)
+                    + cmt[m]
+                )
+                ub = w["weight"] * t_idf * (BM25_K1 + 1.0) * cmt[m] / denom
+            keep[m] |= ub >= (theta - others_ub.get(k, 0.0))
+
+    total, kept = int(keep.size), int(keep.sum())
+    if counters is not None:
+        counters["chunks_total"] = counters.get("chunks_total", 0) + total
+        counters["chunks_kept"] = counters.get("chunks_kept", 0) + kept
+    if kept > OR_IOPRUNE_MAX_IDS or kept >= OR_IOPRUNE_KEEP_FRAC * total:
+        return None
+    cond = F.lit(False)
+    for k in heavy_keys:
+        ids = first[(keys == k) & keep]
+        if ids.size == 0:
+            continue  # every chunk of this term skipped
+        if ids.size <= DOCLEN_PUSH_CAP:
+            id_pred = F.col("first_doc_id").isin([int(x) for x in ids])
+        else:
+            # parquet-mr evaluates a pushed In as a recursive Or chain
+            # — beyond ~1k literals it stack-overflows executor tasks
+            # (r7) — so a big survivor set degrades to its doc range
+            # (sound superset; still prunes the tails)
+            id_pred = F.col("first_doc_id").between(
+                int(ids.min()), int(ids.max())
+            )
+        cond = cond | (
+            (F.col("term") == F.lit(winners[k]["term"])) & id_pred
+        )
+    return cond
+
+
 def decode_matched_rows_bmw(
     matched: DataFrame,
     cand_sorted: np.ndarray,
@@ -403,12 +601,19 @@ def _try_candidate_and_decode(
     this is exact — non-candidate docs that ride along in boundary
     blocks are dropped by the all-keys-present filter).
 
-    Returns the pruned decoded frame, or None (caller falls back to the
+    Returns ``(decoded, cand)`` — the pruned decoded frame plus the
+    sorted candidate doc_ids — or None (caller falls back to the
     doc-range-bounded full decode) when the rarest list exceeds the
-    driver candidate bound.  Costs one extra small job (the rare-list
-    decode + O(rare_df) doc_id collect); worth it exactly where a query
-    pairs a selective term with a stopword whose blocks would otherwise
-    all decode — at 10^12 docs that is ~10^10 skipped blocks.
+    driver candidate bound.  Callers may narrow the scoring join's docs
+    frame to ``cand``: every AND result doc is in the rarest list by
+    definition, and a ride-along (non-candidate) row can never pass the
+    all-keys-present filter, so dropping its doc_len row from the join
+    is exact (r7 — turns the corpus-scale doc_len pass into a
+    doc_id-pushed row-group read when candidates are few).  Costs one
+    extra small job (the rare-list decode + O(rare_df) doc_id collect);
+    worth it exactly where a query pairs a selective term with a
+    stopword whose blocks would otherwise all decode — at 10^12 docs
+    that is ~10^10 skipped blocks.
 
     ``rows_for(keys)``: optional factory returning matched rows whose
     SCAN predicate covers only ``keys`` — a plain ``matched.filter``
@@ -437,7 +642,7 @@ def _try_candidate_and_decode(
         )
     )
     if cand.size == 0:
-        return decode_matched_rows(rare_rows.limit(0))
+        return decode_matched_rows(rare_rows.limit(0)), cand
     # theta=+inf with zero ub headroom degenerates the BMW keep rule to
     # candidate-overlap only — the shared decoder does the block skips
     import collections
@@ -446,7 +651,7 @@ def _try_candidate_and_decode(
         other_rows, cand, float("inf"), collections.defaultdict(float),
         n_docs=1 << 62, min_doc_len=1.0, davr=1.0, counters=counters,
     )
-    return decode_matched_rows(rare_rows).unionByName(other_dec)
+    return decode_matched_rows(rare_rows).unionByName(other_dec), cand
 
 
 def _try_bmw_or_decode(
@@ -463,12 +668,16 @@ def _try_bmw_or_decode(
     counters: dict | None,
     rows_for=None,
     round_digits: int | None = None,
+    ioprune=None,
 ) -> DataFrame | None:
     """Disjunctive pruning orchestration shared by the merged and
     chunked serving paths.  ``meta`` = one Row per key with (key, df,
-    weight, mt = list-wide max tf).  Returns the pruned decoded-postings
-    frame, or None when pruning cannot help / cannot stay bounded
-    (caller falls back to full decode — always correct):
+    weight, mt = list-wide max tf).  Returns ``(decoded, docs_narrow)``
+    — the pruned decoded-postings frame plus an optional
+    candidate-restricted docs frame for the scoring join (non-None only
+    on the candidate-only branch, whose bound check PROVES every result
+    doc is a candidate) — or None when pruning cannot help / cannot
+    stay bounded (caller falls back to full decode — always correct):
 
     - no heavy list (nothing to prune) or no light list (no theta seed);
     - light candidate volume above ``cand_limit`` (driver stays O(k +
@@ -480,6 +689,13 @@ def _try_bmw_or_decode(
     _try_candidate_and_decode) — without it the light pass's scan
     predicate still covers the heavy terms, reading their payload
     bytes just to discard them.
+
+    ``ioprune(heavy_keys, theta, cand_sorted, others_ub, cand_only)``:
+    optional chunk-granule scan-prune factory (chunked path only —
+    merged rows are one-per-term, nothing to skip at scan granularity);
+    returns a pushable Column over the heavy scan or None.  Applied
+    AFTER theta is known and BEFORE the heavy payload read, so skipped
+    chunks are skipped bytes (r7; see _chunk_ioprune_filter).
     """
     heavy = [m for m in meta if m["df"] > heavy_df]
     light = [m for m in meta if m["df"] <= heavy_df]
@@ -498,26 +714,27 @@ def _try_bmw_or_decode(
         heavy_rows = matched.filter(F.col("key").isin(heavy_keys))
 
     # pass 1: exact partial scores from the light lists -> theta + the
-    # candidate doc set (bounded by cand_limit).  The decoded light
-    # frame is cand_limit-bounded, the docs table is corpus-scale:
-    # BROADCAST the light side explicitly so the doc_len lookup is a
-    # map-side hash join over the docs scan — without the hint a
-    # 10^6+-row docs table exceeds autoBroadcastJoinThreshold and this
-    # pass SHUFFLES the whole corpus' doc_lens, which was most of the
-    # pruning path's measured fixed overhead (BENCH/SCALE.md r4).
+    # candidate doc set.  The light postings are cand_limit-bounded
+    # (checked above), so they collect to the driver and the partial
+    # sums compute there (_driver_contribs, bm25_expr's float64 op
+    # order); doc_lens come from a doc_id-PUSHED scan of the docs table
+    # (_doc_lens_for) instead of a full corpus-scale doc_len join — the
+    # r7 needle campaign measured the old path's three full doc_len
+    # passes (theta, bound check, scoring) as MOST of the pruned
+    # query's cold bytes at 30M docs (BENCH/SCALE.md).
     light_dec = decode_matched_rows(light_rows)
-    prows = (
-        docs.select("doc_id", "doc_len")
-        .join(F.broadcast(light_dec), "doc_id")
-        .withColumn("contrib", F.col("weight") * bm25_expr(n_docs, davr))
-        .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("p"))
-        .collect()
-    )
-    if len(prows) < k:
+    lrows = light_dec.select("doc_id", "df", "weight", "tf").collect()
+    if not lrows:
         return None
-    theta = sorted((r["p"] for r in prows), reverse=True)[k - 1]
-    cand_sorted = np.sort(np.array([r["doc_id"] for r in prows], dtype=np.int64))
+    cand_ids = np.unique(np.array([r["doc_id"] for r in lrows], np.int64))
+    dl_map = _doc_lens_for(docs, cand_ids)
+    partials = _driver_contribs(lrows, dl_map, n_docs, davr)
+    if len(partials) < k:
+        return None
+    theta = sorted(partials.values(), reverse=True)[k - 1]
+    cand_sorted = np.sort(
+        np.fromiter(partials.keys(), dtype=np.int64, count=len(partials))
+    )
 
     min_doc_len = float(stats.get("min_doc_len", 1.0))
     full_ubs = {
@@ -551,22 +768,24 @@ def _try_bmw_or_decode(
         # returned union — and an uncached mapInPandas would decode
         # the heavy candidate blocks twice and double-count the
         # decoded/total pruning accumulators (ADVICE r4)
+        if ioprune is not None:
+            # candidate-only decode ⇒ candidate-free chunks contribute
+            # nothing; skip their payload at the scan (r7)
+            pred = ioprune(heavy_keys, float("inf"), cand_sorted,
+                           {m["key"]: 0.0 for m in heavy}, True)
+            if pred is not None:
+                heavy_rows = heavy_rows.filter(pred)
         heavy_cand = decode_matched_rows_bmw(
             heavy_rows, cand_sorted, float("inf"),
             {m["key"]: 0.0 for m in heavy},
             n_docs, min_doc_len, davr, counters=counters, cand_only=True,
         ).localCheckpoint()
-        hrows = (
-            docs.select("doc_id", "doc_len")
-            .join(F.broadcast(heavy_cand), "doc_id")
-            .withColumn("contrib", F.col("weight") * bm25_expr(n_docs, davr))
-            .groupBy("doc_id")
-            .agg(F.sum("contrib").alias("h"))
-            .collect()
-        )
-        hmap = {r["doc_id"]: float(r["h"]) for r in hrows}
+        # bound check driver-side: heavy_cand is candidate-only, so its
+        # docs all sit in dl_map already — no docs pass at all (r7)
+        hrows = heavy_cand.select("doc_id", "df", "weight", "tf").collect()
+        hmap = _driver_contribs(hrows, dl_map, n_docs, davr)
         finals = sorted(
-            (float(r["p"]) + hmap.get(r["doc_id"], 0.0) for r in prows),
+            (v + hmap.get(d, 0.0) for d, v in partials.items()),
             reverse=True,
         )
         theta_c = finals[k - 1]
@@ -580,16 +799,49 @@ def _try_bmw_or_decode(
         margin = 0.0 if round_digits is None else 0.5 * 10.0 ** (-round_digits)
         if theta_c <= ub_noncand + margin:
             return None
-        return decode_matched_rows(light_rows).unionByName(heavy_cand)
+        # the returned frame is PROVABLY bounded — light postings by
+        # cand_limit, heavy_cand by |candidates| x #heavy — but it
+        # comes out of mapInPandas, whose unknown size statistics made
+        # _score_topk's doc_len join a SORT-MERGE that shuffled the
+        # entire corpus-scale docs table (measured at 30M docs: a
+        # ~0.5 GB constant read floor that swamped everything the scan
+        # prune saved; BENCH/SCALE.md r7).  The explicit hint turns the
+        # scoring tail into a broadcast hash join over the docs SCAN —
+        # and since the bound check just PROVED every result doc is a
+        # candidate, the scan itself narrows to the candidate ids
+        # (docs_narrow), the same pushed row-group read as
+        # _doc_lens_for.  End to end the rare-candidate query now reads
+        # O(candidates) — surviving chunks + candidate doc_lens — not
+        # O(corpus).
+        decoded = F.broadcast(
+            decode_matched_rows(light_rows).unionByName(heavy_cand)
+        )
+        docs_narrow = None
+        if cand_sorted.size <= DOCLEN_PUSH_CAP:
+            docs_narrow = docs.filter(
+                F.col("doc_id").isin([int(x) for x in cand_sorted])
+            )
+        return decoded, docs_narrow
 
     total_ub = sum(full_ubs.values())
     others_ub = {key: total_ub - ub for key, ub in full_ubs.items()}
 
+    if ioprune is not None:
+        # chunk-granule keep rule pushed into the heavy scan — the
+        # block-level rule below sees every block it would have kept
+        # (chunk-keep ⊇ block-keep), only the bytes read change (r7)
+        pred = ioprune(heavy_keys, float(theta), cand_sorted, others_ub,
+                       False)
+        if pred is not None:
+            heavy_rows = heavy_rows.filter(pred)
     heavy_dec = decode_matched_rows_bmw(
         heavy_rows, cand_sorted, float(theta), others_ub,
         n_docs, min_doc_len, davr, counters=counters,
     )
-    return decode_matched_rows(light_rows).unionByName(heavy_dec)
+    # no docs narrowing here: a heavy-only doc (in no light list) can
+    # legitimately reach the top-k through the ub-kept blocks, and it
+    # is not in the candidate set
+    return decode_matched_rows(light_rows).unionByName(heavy_dec), None
 
 
 def bm25_expr(n_docs: int, davr: float):
@@ -712,11 +964,20 @@ def topk_bm25(
         if rare["df"] <= prune_collect_limit:
             max_doc = int(rare["last_doc"])
         if and_prune and n_keys > 1:
-            decoded = _try_candidate_and_decode(
+            res = _try_candidate_and_decode(
                 spark, matched, rare["key"], int(rare["df"]),
                 cand_limit, counters,
                 rows_for=rows_for, all_keys=[m["key"] for m in meta],
             )
+            if res is not None:
+                decoded, cand = res
+                if 0 < cand.size <= DOCLEN_PUSH_CAP:
+                    # exact (see _try_candidate_and_decode): result
+                    # docs ⊆ candidates, ride-alongs can't pass the
+                    # all-keys filter — narrow the doc_len scan
+                    docs = docs.filter(
+                        F.col("doc_id").isin([int(x) for x in cand])
+                    )
     elif mode == "or" and or_prune:
         meta = matched.select(
             "key", "df", "weight", F.array_max("max_tf").alias("mt")
@@ -728,11 +989,15 @@ def topk_bm25(
         if not auto_or or skippable >= _auto_floor(
             spark, OR_PRUNE_MIN_HEAVY_CONF, AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS
         ):
-            decoded = _try_bmw_or_decode(
+            res = _try_bmw_or_decode(
                 spark, matched, meta, docs, stats, n_docs, davr,
                 k, heavy_df, cand_limit, counters,
                 rows_for=rows_for, round_digits=round_digits,
             )
+            if res is not None:
+                decoded, docs_narrow = res
+                if docs_narrow is not None:
+                    docs = docs_narrow
 
     if decoded is None:
         decoded = decode_matched_rows(
@@ -891,6 +1156,27 @@ def topk_bm25_chunked(
         or_prune = skippable >= _auto_floor(
             spark, OR_PRUNE_MIN_HEAVY_CONF, AUTO_OR_PRUNE_MIN_HEAVY_POSTINGS
         )
+        if not or_prune:
+            # r7 rare-candidate rule: the decode-volume floor above
+            # prices only skipped DECODE; the scan prune skips READS,
+            # which win far below it when candidates are rare relative
+            # to the heavy chunk count (a chunk is skippable only if
+            # candidate-free — kept ≈ |cands| of ~df/1M chunks).
+            # Engage when the light lists are genuinely rare (their
+            # summed df bounds the candidate count, within the doc_len
+            # pushdown cap) and the heavy side spans at least ~2x that
+            # many salter-cap-sized chunks; measured at 30M docs this
+            # regime reads 241 vs 546 MB cold and halves the wall
+            # (BENCH/SCALE.md needle campaign).
+            light_sum = sum(
+                w["term_df"] for w in winners.values()
+                if w["term_df"] <= heavy_df
+            )
+            est_chunks = skippable // APPROX_CHUNK_POSTINGS
+            or_prune = (
+                0 < light_sum <= DOCLEN_PUSH_CAP
+                and est_chunks >= 2 * light_sum
+            )
     if and_prune == "auto":
         and_prune = n_docs >= _auto_floor(
             spark, AND_PRUNE_MIN_DOCS_CONF, AUTO_AND_PRUNE_MIN_DOCS
@@ -944,22 +1230,45 @@ def topk_bm25_chunked(
                         F.col("first_doc_id") <= F.lit(_b)
                     )
 
-            decoded = _try_candidate_and_decode(
+            res = _try_candidate_and_decode(
                 spark, matched, rare_key, rare["term_df"],
                 cand_limit, counters,
                 rows_for=rf, all_keys=list(winners),
             )
+            if res is not None:
+                decoded, cand = res
+                if 0 < cand.size <= DOCLEN_PUSH_CAP:
+                    # exact (see _try_candidate_and_decode): result
+                    # docs ⊆ candidates, ride-alongs can't pass the
+                    # all-keys filter — narrow the doc_len scan
+                    docs = docs.filter(
+                        F.col("doc_id").isin([int(x) for x in cand])
+                    )
     elif mode == "or" and or_prune:
         meta = [
             {"key": k, "df": w["term_df"], "weight": w["weight"],
              "mt": w["mt"]}
             for k, w in winners.items()
         ]
-        decoded = _try_bmw_or_decode(
+        min_dl = float(stats.get("min_doc_len", 1.0))
+
+        def ioprune(heavy_keys, theta, cand_sorted, others_ub, cand_only):
+            return _chunk_ioprune_filter(
+                spark, chunks, winners, strict, heavy_keys, theta,
+                cand_sorted, others_ub, n_docs, min_dl, davr,
+                counters=counters, cand_only=cand_only,
+            )
+
+        res = _try_bmw_or_decode(
             spark, matched, meta, docs, stats, n_docs, davr,
             k, heavy_df, cand_limit, counters,
             rows_for=rows_for, round_digits=round_digits,
+            ioprune=ioprune,
         )
+        if res is not None:
+            decoded, docs_narrow = res
+            if docs_narrow is not None:
+                docs = docs_narrow
 
     if decoded is None:
         decoded = decode_matched_rows(

@@ -53,6 +53,16 @@ def get_spark(
         # into the executor log at negligible steady-state cost
         .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+        # the r7 disjunctive I/O prune pushes per-column In-lists of
+        # surviving chunk first_doc_ids / candidate doc_ids.  Above
+        # this threshold Spark degrades a pushed In to a [min, max]
+        # range (prunes nothing for scattered ids); BELOW it parquet-mr
+        # evaluates the In as a recursive Or chain, so a large value is
+        # NOT safe — 25000 produced a StackOverflowError in executor
+        # tasks at 30M docs.  1024 is deep enough for the pruning
+        # regime (candidates ≲ chunk count) and shallow enough for the
+        # recursive evaluator; query_exec's push caps stay below it.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -17,15 +17,17 @@ Prints one JSON line per size plus a summary line; indexes cached under
 /tmp/iib_bmw (``--keep`` leaves them for reuse across runs).
 
 Every variant also reports the JVM's READ BYTES (benchmetrics.JvmIOMeter,
-VERDICT r6 #2): ``*_rchar_mb`` = logical read syscalls (the bytes the
-query REQUESTS — page-cache hits included; at 100 TB on object storage
-these are billable GETs), ``*_disk_mb`` = physical block-device bytes.
-``--cold`` models that remote/cold tier on this box: Spark-side caching
-is disabled and the OS page cache is dropped before every rep, so the
-disk column IS the IO each query pays — the measurement the 500M OR
-auto-prune floor needs (its in-memory extrapolation has no winning BMW
-point under the r6 decoder; cold reads are where skipped blocks become
-skipped IO).
+VERDICT r6 #2): ``*_rchar_mb`` = total bytes MOVED through read
+syscalls — storage AND the python->JVM Arrow stream of decoded
+postings, which dominates query paths (corrected r7; see the
+benchmetrics docstring) — a deterministic work measure, not a GET
+count; ``*_disk_mb`` = physical block-device bytes.  ``--cold`` models
+the remote/cold tier on this box: Spark-side caching is disabled and
+the OS page cache is dropped before every rep, so the DISK column is
+the object-storage-GET analog each query pays — the measurement the
+500M OR auto-prune floor needs (its in-memory extrapolation has no
+winning BMW point under the r6 decoder; cold reads are where skipped
+blocks become skipped IO).
 """
 
 from __future__ import annotations
@@ -136,6 +138,15 @@ def main() -> int:
                          "every rep — disk bytes become the IO each "
                          "query actually pays (the object-storage "
                          "cost model)")
+    ap.add_argument("--heavy-df", type=int, default=None,
+                    help="override the light/heavy classifier "
+                         "(HEAVY_QUERY_DF=8192).  The fixture's rare "
+                         "class drifted to df~8.6-8.9k at 30M docs — "
+                         "JUST above the default, so every 30M OR "
+                         "measurement on the current index silently "
+                         "fell back to full decode (no light list, no "
+                         "theta).  Pass e.g. 16384 so the rare class "
+                         "is light again and BMW actually engages.")
     ap.add_argument("--heavies", type=int, default=1,
                     help="number of ~0.95N-df heavy lists in the OR "
                          "query (default 1 = just 'common'); >1 appends "
@@ -177,6 +188,8 @@ def main() -> int:
         stats = load_stats(spark, out)
 
         def run(query, mode, **kw):
+            if args.heavy_df is not None:
+                kw["heavy_df"] = args.heavy_df
             return lambda: topk_bm25_chunked(
                 spark, chunks, docs, stats, query, mode=mode, k=10, **kw
             ).collect()

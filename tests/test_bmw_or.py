@@ -29,6 +29,8 @@ def env(spark):
             rows.append(("common", d, 1 + d % 3))
         if d % 2 == 1:  # df 10k > HEAVY_QUERY_DF: a second heavy list
             rows.append(("mid", d, 1))
+        if d % 4 == 0:  # df 5k < N/2: POSITIVE idf, heavy under a
+            rows.append(("posheavy", d, 1 + d % 5))  # lowered heavy_df
         # rare terms clustered in two narrow doc ranges
         if 3000 <= d < 3100:
             rows.append(("rareone", d, 2))
@@ -91,7 +93,99 @@ def test_or_pruned_equals_full_decode_chunked(spark, env):
     ).collect()
     assert _key(pruned) == _key(full)
     assert counters["total"].value > 0
-    assert counters["decoded"].value < counters["total"].value / 4
+    # r7: pruning is now two-layer in the chunked path.  Layer 1 (the
+    # scan-level chunk prune) must drop candidate-free low-ub chunks
+    # BEFORE the payload read; the decoder's block counters then only
+    # see surviving chunks, so the end-to-end skip fraction is decoded
+    # blocks vs the ORIGINAL block count of the matched terms.
+    assert counters["chunks_total"] > 0
+    assert counters["chunks_kept"] < counters["chunks_total"] / 2
+    orig_blocks = (
+        env["chunks"]
+        .filter(F.col("term").isin("common", "rareone", "raretwo"))
+        .select(F.sum(F.size("block_counts")))
+        .collect()[0][0]
+    )
+    assert counters["decoded"].value < orig_blocks / 4
+
+
+def test_or_ioprune_positive_idf_ub_leg(spark, env):
+    """Positive-IDF heavy list (df 5k < N/2 = posheavy) through the
+    one-pass keep rule: the chunk-granule scan prune's ub leg must keep
+    every chunk whose upper bound can reach theta (chunk-keep ⊇
+    block-keep, so results are identical to full decode) while still
+    skipping candidate-free low-ub chunks."""
+    counters = {
+        "decoded": spark.sparkContext.accumulator(0),
+        "total": spark.sparkContext.accumulator(0),
+    }
+    pruned = topk_bm25_chunked(
+        spark, env["chunks"], env["docs"], env["stats"],
+        "rareone raretwo posheavy", mode="or", k=10, round_digits=6,
+        counters=counters, or_prune=True, heavy_df=1024,
+    ).collect()
+    full = topk_bm25_chunked(
+        spark, env["chunks"], env["docs"], env["stats"],
+        "rareone raretwo posheavy", mode="or", k=10, round_digits=6,
+        or_prune=False,
+    ).collect()
+    assert _key(pruned) == _key(full) and len(full) == 10
+    assert counters["chunks_total"] > 0
+    assert counters["chunks_kept"] < counters["chunks_total"]
+
+
+def test_or_auto_engages_rare_candidate_regime(spark, env, monkeypatch):
+    """r7 auto rule: below the decode-volume floor, or_prune="auto"
+    still engages when candidates are rare relative to the heavy chunk
+    count (scan-prune regime) — and stays off otherwise.  The chunk
+    approximation constant is scaled down so the regime is reachable at
+    test size."""
+    import invertedindexbuilder_spark.operators.query_exec as qe
+
+    # real constant (1M-posting chunks): est_chunks = 0 -> stays off
+    counters = {}
+    topk_bm25_chunked(
+        spark, env["chunks"], env["docs"], env["stats"],
+        "rareone raretwo common", mode="or", k=10, counters=counters,
+    ).collect()
+    assert "chunks_total" not in counters
+    # scaled constant: common (df 10k) ~ 1250 est chunks >= 2x the 200
+    # light candidates -> engages without any forced flag
+    monkeypatch.setattr(qe, "APPROX_CHUNK_POSTINGS", 8)
+    counters = {}
+    auto = topk_bm25_chunked(
+        spark, env["chunks"], env["docs"], env["stats"],
+        "rareone raretwo common", mode="or", k=10, round_digits=6,
+        counters=counters,
+    ).collect()
+    assert counters.get("chunks_total", 0) > 0
+    full = topk_bm25_chunked(
+        spark, env["chunks"], env["docs"], env["stats"],
+        "rareone raretwo common", mode="or", k=10, round_digits=6,
+        or_prune=False,
+    ).collect()
+    assert _key(auto) == _key(full)
+
+
+def test_or_ioprune_fallback_matches(spark, env, monkeypatch):
+    """With the metadata cap forced to 0 the scan prune must fall back
+    to the unpruned heavy scan and still produce identical results."""
+    import invertedindexbuilder_spark.operators.query_exec as qe
+
+    monkeypatch.setattr(qe, "OR_IOPRUNE_META_CAP", 0)
+    counters = {}
+    pruned = topk_bm25_chunked(
+        spark, env["chunks"], env["docs"], env["stats"],
+        "rareone raretwo common", mode="or", k=10, round_digits=6,
+        counters=counters, or_prune=True,
+    ).collect()
+    full = topk_bm25_chunked(
+        spark, env["chunks"], env["docs"], env["stats"],
+        "rareone raretwo common", mode="or", k=10, round_digits=6,
+        or_prune=False,
+    ).collect()
+    assert _key(pruned) == _key(full)
+    assert "chunks_kept" not in counters  # cap tripped before the rule
 
 
 def test_or_all_heavy_falls_back_and_matches(spark, env):

@@ -118,6 +118,57 @@ def test_bucketed_docs_join_shuffles_only_the_decoded_side(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS docs_bucketed_test")
 
 
+def test_or_ioprune_pushes_scan_filters(spark, tmp_path):
+    """r7 two-phase OR prune plan contract: (a) the surviving-chunk
+    In-list reaches the heavy payload scan's PushedFilters (skipped
+    chunks are skipped READS), and (b) the candidate-only branch's
+    scoring tail narrows the docs scan with a pushed doc_id In-list and
+    broadcast-joins the bounded decoded frame (no corpus-scale doc_len
+    shuffle)."""
+    from invertedindexbuilder_spark.operators.query_exec import (
+        topk_bm25_chunked,
+    )
+
+    rows = []
+    for d in range(4000):
+        if d % 2 == 0:  # df = N/2: idf == 0 -> the sound cand-only
+            rows.append(("stopneg", d, 1 + d % 3))  # branch engages
+        if d % 4 == 0:  # df = N/4: idf > 0 -> the one-pass ub branch
+            rows.append(("stoppos", d, 1 + d % 3))
+        if d % 400 == 7:
+            rows.append(("needle", d, 2))  # df 10, scattered, idf > 0
+    postings = spark.createDataFrame(rows, "term string, doc_id long, tf long")
+    encode_chunks(postings, salt_threshold=256, chunk_blocks=1).write.parquet(
+        str(tmp_path / "ch")
+    )
+    spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(50) + F.col("id") % 9).cast("long").alias("doc_len"),
+    ).write.parquet(str(tmp_path / "docs"))
+    chunks = spark.read.parquet(str(tmp_path / "ch"))
+    docs = spark.read.parquet(str(tmp_path / "docs"))
+    stats = {"n_docs": 4000, "sum_doc_len": sum(50 + d % 9 for d in range(4000)),
+             "min_doc_len": 50}
+    # positive-IDF heavy: the returned frame still holds the heavy
+    # scan, so the surviving-chunk In-list is visible in its plan
+    pos = topk_bm25_chunked(
+        spark, chunks, docs, stats, "needle stoppos", mode="or", k=10,
+        or_prune=True, heavy_df=64,
+    )
+    plan = _plan(pos)
+    assert re.search(r"PushedFilters: \[[^\]]*In\(first_doc_id", plan), plan
+    # negative-IDF heavy: the cand-only branch localCheckpoints the
+    # (already scan-pruned) heavy decode, so pin ITS contract on the
+    # scoring tail — candidate-In-pushed docs scan, no corpus shuffle
+    neg = topk_bm25_chunked(
+        spark, chunks, docs, stats, "needle stopneg", mode="or", k=10,
+        or_prune=True, heavy_df=64,
+    )
+    plan = _plan(neg)
+    assert re.search(r"PushedFilters: \[[^\]]*In\(doc_id", plan), plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_chunk_table_files_are_term_clustered(spark, tmp_path):
     """r7 layout contract: the stored chunk table is term-range
     clustered (repartitionByRange at write), so per-FILE term min/max
