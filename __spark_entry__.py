@@ -29,6 +29,11 @@ Coverage map (SURVEY §2 rows -> queries):
   purge id_remap (r7)       -> purge_id_remap (old->new survivor map
                                published in the purge flip for CDC
                                upstream resync)
+  disjunctive scan prune    -> bm25_or_ioprune (r7; two-phase chunk-
+                               granule keep rule pushed into the scan)
+  sharded serving (r7)      -> bm25_sharded (scatter-gather over two
+                               independent shard builds, global stats,
+                               zero payload bytes rewritten)
   boolean NOT / facets (r3) -> bm25_and_not, bm25_filtered
   S4 sampling               -> sample_mod10
   training-data extensions  -> dedup_exact, dedup_jaccard,

@@ -92,13 +92,15 @@ CANONICAL_ORDER = [
     "index_purged",
     "bm25_and_deleted",
     "search_dfs_purged",
-    # r7 additions (purge id_remap, disjunctive scan prune):
-    # canonical-last — with 66 gates the r7 offset is (66-50)*7 % 66 =
-    # 46, so the window covers canonical indices 46..65 + 0..29: both
-    # debuts (64, 65) land a driver row, and
-    # tests/test_gate_rotation.py pins that the new step still tiles
+    # r7 additions (purge id_remap, disjunctive scan prune, sharded
+    # scatter-gather serving): canonical-last — with 67 gates the r7
+    # offset is (67-50)*7 % 67 = 52, so the window covers canonical
+    # indices 52..66 + 0..34: all three debuts (64, 65, 66) land a
+    # driver row, and tests/test_gate_rotation.py pins that the new
+    # step still tiles (any two consecutive windows cover every gate)
     "purge_id_remap",
     "bm25_or_ioprune",
+    "bm25_sharded",
 ]
 
 

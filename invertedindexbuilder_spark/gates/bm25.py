@@ -15,6 +15,7 @@ from .shared import (
     bm25_sql,
     built,
     chunked,
+    shard_envs,
 )
 
 
@@ -135,6 +136,23 @@ def queries() -> dict:
         )
         return out.select("doc_id", "score")
 
+    def bm25_sharded(spark, sf_dir):
+        # scatter-gather serving (r7): two INDEPENDENT shard builds
+        # over doc-id halves answer one disjunction as a lazy union —
+        # global df / N / d_avr / D5 winner all cross-shard, payloads
+        # decode with the shard id offset as block 0's chain base.
+        # Shard ids reconstruct the full build's ids exactly, so the
+        # oracle is the plain full-corpus OR twin.
+        from invertedindexbuilder_spark.operators.sharding import (
+            topk_bm25_sharded,
+        )
+
+        out = topk_bm25_sharded(
+            spark, shard_envs(spark, sf_dir), "data filter merge",
+            mode="or", k=10, round_digits=5,
+        )
+        return out.select("doc_id", "score")
+
     return {
         "bm25_and": bm25_and,
         "bm25_or": bm25_or,
@@ -148,6 +166,7 @@ def queries() -> dict:
         "bm25_filtered": bm25_filtered,
         "bm25_and_deleted": bm25_and_deleted,
         "bm25_or_ioprune": bm25_or_ioprune,
+        "bm25_sharded": bm25_sharded,
     }
 
 
@@ -185,5 +204,10 @@ def oracle_sql() -> dict:
         # scan-pruned OR must equal the plain OR twin bit-for-bit
         "bm25_or_ioprune": bm25_sql(
             [("dup", 1), ("batch", 1), ("scan", 1)], "or", 10
+        ),
+        # scatter-gather over shard halves reconstructs the full
+        # build's ids and stats — the plain full-corpus OR twin
+        "bm25_sharded": bm25_sql(
+            [("data", 1), ("filter", 1), ("merge", 1)], "or", 10
         ),
     }

@@ -334,6 +334,50 @@ def built(spark: SparkSession, sf_dir: str) -> dict:
     return env
 
 
+def shard_envs(spark: SparkSession, sf_dir: str) -> list[dict]:
+    """Two INDEPENDENT shard builds over doc-id halves of the corpus
+    (each with dense LOCAL ids 0..n-1), for the scatter-gather serving
+    gate: global id = shard offset + local id matches the full build's
+    ids exactly, so the full-corpus BM25 oracle applies unchanged."""
+    env = built(spark, sf_dir)
+    if "shards" not in env:
+        from invertedindexbuilder_spark.operators.index_build import (
+            encode_chunks,
+        )
+
+        n = int(env["stats"]["n_docs"])
+        n_a = n // 2
+        shards = []
+        for lo, hi in ((0, n_a), (n_a, n)):
+            in_range = (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            docs = env["docs"].filter(in_range).withColumn(
+                "doc_id", (F.col("doc_id") - F.lit(lo)).cast("long")
+            ).cache()
+            post = env["postings"].filter(in_range).withColumn(
+                "doc_id", (F.col("doc_id") - F.lit(lo)).cast("long")
+            )
+            agg = docs.agg(
+                F.count("*").alias("n"),
+                F.sum("doc_len").alias("sdl"),
+                F.min("doc_len").alias("mdl"),
+            ).collect()[0]
+            shards.append(
+                {
+                    "chunks": encode_chunks(
+                        post, salt_threshold=64, chunk_blocks=1
+                    ).cache(),
+                    "docs": docs,
+                    "stats": {
+                        "n_docs": int(agg["n"]),
+                        "sum_doc_len": int(agg["sdl"]),
+                        "min_doc_len": int(agg["mdl"]),
+                    },
+                }
+            )
+        env["shards"] = shards
+    return env["shards"]
+
+
 def chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunked SERVING index over the same corpus, with an artificially
     LOW salt threshold so common terms really do span several doc-range

@@ -262,6 +262,14 @@ def decode_matched_rows(
     first gap is absolute, so each row decodes independently.  When a
     ``term_df`` column is present (chunked serving), it is emitted as
     the scoring ``df`` while ``df`` itself stays the row's decode count.
+
+    When an ``id_offset`` column is present (sharded serving,
+    operators/sharding.py), it becomes block 0's delta-chain base, so
+    the shard-local payload decodes directly to GLOBAL doc ids — the
+    metadata columns (first_doc_id, last_doc_ids) arrive already
+    rebased by the sharded view, so the block-skip searchsorted math
+    and the decoded ids stay consistent without touching a payload
+    byte.  Absent (every single-index path), the base is 0: a no-op.
     """
 
     def explode(batches):
@@ -273,6 +281,7 @@ def decode_matched_rows(
                     np.asarray(r.last_doc_ids, dtype=np.int64),
                     np.asarray(r.block_bytes, dtype=np.int64),
                     min_doc_id=min_doc_id,
+                    prev_doc_id=int(getattr(r, "id_offset", 0)),
                     block_counts=np.asarray(r.block_counts, dtype=np.int64),
                     max_doc_id=max_doc_id,
                 )
@@ -310,18 +319,67 @@ def _full_list_ub(mt: float, df: int, weight: int, n_docs: int,
     return weight * t_idf * (BM25_K1 + 1.0) * mt / denom
 
 
-def _doc_lens_for(docs: DataFrame, ids: np.ndarray) -> dict[int, float]:
+def _make_docs_narrower(docs: DataFrame, docs_shards=None, doc_filter=None):
+    """Factory for the doc_id∈ids narrowing used by the scoring join
+    and :func:`_doc_lens_for`'s pushed path.
+
+    Unsharded (``docs_shards is None``): one In-list filter over the
+    docs frame (the caller already applied ``doc_filter``) — pushes to
+    parquet as-is.  Sharded: the virtual docs frame's doc_id is a
+    COMPUTED column (local + shard offset), which parquet stats cannot
+    prune — so the global ids rebase to each shard's LOCAL id space,
+    the In-list pushes into that shard's scan on the physical doc_id
+    column, and the global id + ``doc_filter`` (global semantics)
+    apply to the handful of surviving rows.  This keeps the r7
+    O(candidates) doc_len read on every shard instead of degrading to
+    a narrow-column corpus scan on the offset ones."""
+
+    def narrow(ids) -> DataFrame:
+        idl = [int(x) for x in ids]
+        if docs_shards is None:
+            return docs.filter(F.col("doc_id").isin(idl))
+        parts = []
+        for d, off, n in docs_shards:
+            loc = [x - off for x in idl if off <= x < off + n]
+            if not loc:
+                continue
+            p = d.filter(F.col("doc_id").isin(loc))
+            if off:
+                p = p.withColumn(
+                    "doc_id", (F.col("doc_id") + F.lit(off)).cast("long")
+                )
+            if doc_filter is not None:
+                p = p.filter(doc_filter)
+            parts.append(p)
+        if not parts:
+            return docs.filter(F.lit(False))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    return narrow
+
+
+def _doc_lens_for(
+    docs: DataFrame, ids: np.ndarray, narrow=None
+) -> dict[int, float]:
     """doc_len lookup for a BOUNDED doc_id set.  Small sets push an
     In-list into the docs scan (row-group pruning via the table's
     naturally tight per-file doc_id stats); large sets keep the
     broadcast-hash join over the full docs scan.  Inner-join parity:
     ids missing from ``docs`` (dropped by a doc_filter) are absent from
-    the result and must not score."""
+    the result and must not score.  ``narrow``: optional
+    :func:`_make_docs_narrower` closure — sharded serving passes it so
+    the In-list pushes per shard on the physical doc_id column."""
     base = docs.select("doc_id", "doc_len")
     if ids.size <= DOCLEN_PUSH_CAP:
-        rows = base.filter(
-            F.col("doc_id").isin([int(x) for x in ids])
-        ).collect()
+        src = (
+            narrow(ids).select("doc_id", "doc_len")
+            if narrow is not None
+            else base.filter(F.col("doc_id").isin([int(x) for x in ids]))
+        )
+        rows = src.collect()
     else:
         ids_df = docs.sparkSession.createDataFrame(
             [(int(x),) for x in ids], "doc_id long"
@@ -559,6 +617,10 @@ def decode_matched_rows_bmw(
                     np.asarray(r.block_bytes, dtype=np.int64),
                     np.asarray(r.block_counts, dtype=np.int64),
                     keep,
+                    # sharded serving: block 0's chain base is the
+                    # shard's id offset (see decode_matched_rows);
+                    # blocks >0 re-base from the REBASED last_doc_ids
+                    prev_doc_id=int(getattr(r, "id_offset", 0)),
                 )
                 if cand_only and docs.size:
                     # sorted-membership filter: keep candidate docs
@@ -669,6 +731,7 @@ def _try_bmw_or_decode(
     rows_for=None,
     round_digits: int | None = None,
     ioprune=None,
+    narrow=None,
 ) -> DataFrame | None:
     """Disjunctive pruning orchestration shared by the merged and
     chunked serving paths.  ``meta`` = one Row per key with (key, df,
@@ -727,7 +790,7 @@ def _try_bmw_or_decode(
     if not lrows:
         return None
     cand_ids = np.unique(np.array([r["doc_id"] for r in lrows], np.int64))
-    dl_map = _doc_lens_for(docs, cand_ids)
+    dl_map = _doc_lens_for(docs, cand_ids, narrow=narrow)
     partials = _driver_contribs(lrows, dl_map, n_docs, davr)
     if len(partials) < k:
         return None
@@ -818,8 +881,12 @@ def _try_bmw_or_decode(
         )
         docs_narrow = None
         if cand_sorted.size <= DOCLEN_PUSH_CAP:
-            docs_narrow = docs.filter(
-                F.col("doc_id").isin([int(x) for x in cand_sorted])
+            docs_narrow = (
+                narrow(cand_sorted)
+                if narrow is not None
+                else docs.filter(
+                    F.col("doc_id").isin([int(x) for x in cand_sorted])
+                )
             )
         return decoded, docs_narrow
 
@@ -1105,6 +1172,7 @@ def topk_bm25_chunked(
     exclude: str | None = None,
     doc_filter=None,
     exclude_doc_ids: DataFrame | None = None,
+    docs_shards: list | None = None,
 ) -> DataFrame:
     """Top-k BM25 served directly from the chunked index (INDEX_CHUNK).
 
@@ -1120,11 +1188,23 @@ def topk_bm25_chunked(
     ``exclude`` / ``doc_filter``: same boolean-NOT and faceted-filter
     semantics as :func:`topk_bm25`.  ``exclude_doc_ids``: tombstone
     frame, same semantics as in :func:`topk_bm25`.
+
+    ``docs_shards``: sharded serving only (operators/sharding.py) — a
+    list of ``(raw_shard_docs, id_offset, shard_n_docs)`` so the
+    bounded doc_id In-list reads (_doc_lens_for, the candidate-narrowed
+    scoring join) rebase per shard and stay parquet-pushed on the
+    physical doc_id column; the ``docs`` frame itself is then the
+    shards' rebased union and serves only the corpus-scale join path.
     """
     terms = tokenize_query(query)
     matched, winners = _lookup_chunk_meta(chunks, terms, strict=strict)
     if doc_filter is not None:
         docs = docs.filter(doc_filter)
+    narrow = (
+        _make_docs_narrower(docs, docs_shards, doc_filter)
+        if docs_shards is not None
+        else None
+    )
     exclude_docs = exclude_doc_ids
     if exclude or exclude_docs is not None:
         # BMW OR-pruning is UNSOUND under exclusion: theta seeds from
@@ -1241,8 +1321,12 @@ def topk_bm25_chunked(
                     # exact (see _try_candidate_and_decode): result
                     # docs ⊆ candidates, ride-alongs can't pass the
                     # all-keys filter — narrow the doc_len scan
-                    docs = docs.filter(
-                        F.col("doc_id").isin([int(x) for x in cand])
+                    docs = (
+                        narrow(cand)
+                        if narrow is not None
+                        else docs.filter(
+                            F.col("doc_id").isin([int(x) for x in cand])
+                        )
                     )
     elif mode == "or" and or_prune:
         meta = [
@@ -1263,7 +1347,7 @@ def topk_bm25_chunked(
             spark, matched, meta, docs, stats, n_docs, davr,
             k, heavy_df, cand_limit, counters,
             rows_for=rows_for, round_digits=round_digits,
-            ioprune=ioprune,
+            ioprune=ioprune, narrow=narrow,
         )
         if res is not None:
             decoded, docs_narrow = res

@@ -19,7 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--index", required=True)
+    ap.add_argument("--index", default=None)
+    ap.add_argument("--shards", metavar="ROOT1,ROOT2,...", default=None,
+                    help="with --spark: scatter-gather serving over "
+                         "INDEPENDENT chunked shard builds (disjoint "
+                         "corpora, dense local ids) — one lazy-union "
+                         "job, global df/N/d_avr, results identical to "
+                         "querying merge_builds' output")
     ap.add_argument("--mode", choices=["and", "or"], default="and")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--no-strict", action="store_true",
@@ -64,6 +70,11 @@ def main() -> int:
     ap.add_argument("terms", nargs="*")
     args = ap.parse_args()
 
+    if args.shards and not args.spark:
+        ap.error("--shards requires --spark (scatter-gather is a "
+                 "distributed serving mode)")
+    if not args.shards and not args.index:
+        ap.error("one of --index or --shards is required")
     if args.spark and args.batch:
         return _spark_batch(args)
     if args.spark:
@@ -156,21 +167,44 @@ def _spark_batch(args) -> int:
         return 0
     spark = get_spark(app_name="query-cli-batch", cores=args.cores)
     spark.sparkContext.setLogLevel("ERROR")
-    cat = Catalog(spark, args.index)
-    table = "index_chunks" if args.chunked else "index"
     qdf = spark.createDataFrame(
         list(enumerate(texts)), "query_id long, text string"
     )
-    tombstones = None
-    if not args.ignore_tombstones:
-        from invertedindexbuilder_spark.plans.deletes import load_tombstones
+    if args.shards:
+        # scatter-gather batch: the sharded view is an ordinary
+        # INDEX_CHUNK frame (rebased metadata + id_offset decode base),
+        # so the batch executor serves it unchanged — one union job,
+        # every key decoded once across all shards and queries
+        from invertedindexbuilder_spark.operators.sharding import (
+            load_shards,
+            sharded_view,
+        )
 
-        tombstones = load_tombstones(spark, args.index)
+        shards = load_shards(spark, args.shards.split(","))
+        if args.ignore_tombstones:
+            for sh in shards:
+                sh["tombstones"] = None
+        view = sharded_view(shards)
+        index = view["chunks"]
+        docs = view["docs"].select("doc_id", "doc_len")
+        stats = view["stats"]
+        tombstones = view["tombstones"]
+    else:
+        cat = Catalog(spark, args.index)
+        table = "index_chunks" if args.chunked else "index"
+        index = cat.read(table)
+        docs = cat.read("docs").select("doc_id", "doc_len")
+        stats = load_stats(spark, args.index)
+        tombstones = None
+        if not args.ignore_tombstones:
+            from invertedindexbuilder_spark.plans.deletes import (
+                load_tombstones,
+            )
+
+            tombstones = load_tombstones(spark, args.index)
     t0 = time.time()
     rows = topk_bm25_batch(
-        spark, cat.read(table),
-        cat.read("docs").select("doc_id", "doc_len"),
-        load_stats(spark, args.index), qdf,
+        spark, index, docs, stats, qdf,
         mode=args.mode, k=args.k, strict=not args.no_strict,
         exclude_doc_ids=tombstones,
     ).orderBy("query_id", "rank").collect()
@@ -196,25 +230,52 @@ def _spark_runner(args):
 
     spark = get_spark(app_name="query-cli", cores=args.cores)
     spark.sparkContext.setLogLevel("ERROR")
-    cat = Catalog(spark, args.index)
-    table = "index_chunks" if args.chunked else "index"
-    index = cat.read(table).cache()
-    docs = cat.read("docs").select("doc_id", "url", "doc_len").cache()
-    index.count(), docs.count()  # warm the caches (Q1 session load)
-    stats = load_stats(spark, args.index)
-    exec_fn = topk_bm25_chunked if args.chunked else topk_bm25
     from pyspark.sql import functions as F
 
     doc_filter = F.expr(args.doc_filter) if args.doc_filter else None
-    tombstones = None
-    if not args.ignore_tombstones:
-        from invertedindexbuilder_spark.plans.deletes import load_tombstones
+    docs_shards = None
+    if args.shards:
+        from invertedindexbuilder_spark.operators.sharding import (
+            load_shards,
+            sharded_view,
+        )
 
-        tombstones = load_tombstones(spark, args.index)
+        shards = load_shards(spark, args.shards.split(","))
+        if args.ignore_tombstones:
+            for sh in shards:
+                sh["tombstones"] = None
+        view = sharded_view(shards)
+        index = view["chunks"].cache()
+        docs = view["docs"].select("doc_id", "url", "doc_len").cache()
+        index.count(), docs.count()  # warm the caches (Q1 session load)
+        stats = view["stats"]
+        tombstones = view["tombstones"]
+        docs_shards = view["docs_shards"]
+        exec_fn = topk_bm25_chunked
         if tombstones is not None:
             tombstones = tombstones.cache()
-            n_tomb = tombstones.count()
-            print(f"# excluding {n_tomb} tombstoned docs", file=sys.stderr)
+            print(f"# excluding {tombstones.count()} tombstoned docs "
+                  "(across shards)", file=sys.stderr)
+    else:
+        cat = Catalog(spark, args.index)
+        table = "index_chunks" if args.chunked else "index"
+        index = cat.read(table).cache()
+        docs = cat.read("docs").select("doc_id", "url", "doc_len").cache()
+        index.count(), docs.count()  # warm the caches (Q1 session load)
+        stats = load_stats(spark, args.index)
+        exec_fn = topk_bm25_chunked if args.chunked else topk_bm25
+        tombstones = None
+        if not args.ignore_tombstones:
+            from invertedindexbuilder_spark.plans.deletes import (
+                load_tombstones,
+            )
+
+            tombstones = load_tombstones(spark, args.index)
+            if tombstones is not None:
+                tombstones = tombstones.cache()
+                n_tomb = tombstones.count()
+                print(f"# excluding {n_tomb} tombstoned docs",
+                      file=sys.stderr)
 
     def run(query: str, mode: str, k: int) -> None:
         t0 = time.time()
@@ -227,6 +288,8 @@ def _spark_runner(args):
             if args.force_prune:
                 kw["or_prune"] = True
                 kw["and_prune"] = True
+        if docs_shards is not None:
+            kw["docs_shards"] = docs_shards
         res = exec_fn(
             spark, index, docs, stats, query,
             mode=mode, k=k, strict=not args.no_strict,
