@@ -106,10 +106,20 @@ def main() -> int:
                          "median-of-5 is the reportable number)")
     ap.add_argument("--canary-band", type=float, default=1.10,
                     help="quiet-window gate (VERDICT r6 #7): a pair is "
-                         "RECORDED only if the canary at its start AND "
-                         "end are within this factor of the session's "
-                         "fastest canary; noisier pairs are discarded "
-                         "and rerun (count disclosed)")
+                         "RECORDED only if (a) its start and end "
+                         "canaries are within this factor of EACH "
+                         "OTHER (no load drift inside the pair — the "
+                         "efficiency is a ratio measured across ~15 "
+                         "min) and (b) both are within this factor of "
+                         "the session's MEDIAN canary (host in its "
+                         "typical state).  The anchor is the median, "
+                         "not the minimum: a single anomalously-fast "
+                         "sample must not tighten the band for the "
+                         "whole session (the first r7 campaign burned "
+                         "its whole discard budget that way — every "
+                         "discarded pair's canaries sat within 1.05x "
+                         "of the session median).  Noisier pairs are "
+                         "discarded and rerun (count disclosed)")
     ap.add_argument("--max-discards", type=int, default=4,
                     help="rerun budget for noisy pairs; exhausted -> "
                          "remaining pairs record with quiet=false flags")
@@ -140,17 +150,28 @@ def main() -> int:
         cpu_canary as _cpu_canary,
     )
 
+    def _median(xs: list) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
     pairs = []
     discarded = []
-    session_min = float("inf")
+    # 3-sample calibration seeds the median anchor so the first pair's
+    # gate isn't anchored on its own two samples
+    canaries = [_cpu_canary() for _ in range(3)]
     want = max(1, args.reps)
     while len(pairs) < want:
         c0 = _cpu_canary()
         r8 = run_build(args.n, corpus, zpath, args.tokenizer)
         r32 = run_build(args.n * 4, corpus, zpath, args.tokenizer)
         c1 = _cpu_canary()
-        session_min = min(session_min, c0, c1)
-        quiet = max(c0, c1) <= args.canary_band * session_min
+        canaries += [c0, c1]
+        anchor = _median(canaries)
+        quiet = (
+            max(c0, c1) <= args.canary_band * min(c0, c1)
+            and max(c0, c1) <= args.canary_band * anchor
+        )
         e = r32["docs_per_sec"] / (4.0 * r8["docs_per_sec"])
         pair = {"rep": len(pairs), "canary_sec": c0,
                 "canary_sec_end": c1, "quiet": quiet, "small": r8,
@@ -160,8 +181,9 @@ def main() -> int:
             discarded.append(pair)
             print(json.dumps({"discarded": True, "eff": pair["eff"],
                               "canary_start": c0, "canary_end": c1,
+                              "anchor": round(anchor, 4),
                               "band_max": round(
-                                  args.canary_band * session_min, 4)}),
+                                  args.canary_band * anchor, 4)}),
                   file=sys.stderr)
             continue
         pairs.append(pair)
@@ -188,6 +210,7 @@ def main() -> int:
         "scaling_efficiency_pairs": [p["eff"] for p in pairs],
         "canary_secs": [p["canary_sec"] for p in pairs],
         "canary_band": args.canary_band,
+        "canary_anchor": round(_median(canaries), 4),
         "discarded_pairs": len(discarded),
         "discarded_effs": [p["eff"] for p in discarded],
         "nonquiet_recorded": sum(1 for p in pairs if not p["quiet"]),
@@ -206,10 +229,14 @@ def main() -> int:
     )
     disc_effs = ", ".join("{:.3f}".format(p["eff"]) for p in discarded)
     n_nonquiet = sum(1 for p in pairs if not p["quiet"])
+    anchor = _median(canaries)
     disc_md = (
-        f"Quiet-window gate: a pair records only if its start AND end "
-        f"canary are within {args.canary_band:.2f}x of the session's "
-        f"fastest canary ({session_min:.4f} s); **{len(discarded)} "
+        f"Quiet-window gate: a pair records only if its start and end "
+        f"canary are within {args.canary_band:.2f}x of each other AND "
+        f"of the session's median canary ({anchor:.4f} s over "
+        f"{len(canaries)} samples; the median — not the minimum — so "
+        f"one fast sample cannot tighten the band for the whole "
+        f"session); **{len(discarded)} "
         f"pair(s) discarded and rerun** under that band"
         + (f" (discarded efficiencies: {disc_effs})" if discarded else "")
         + (f"; rerun budget exhausted — {n_nonquiet} recorded pair(s) "
