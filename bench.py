@@ -26,6 +26,12 @@ blind to the vectorized local-file parquet path (see benchmetrics
 docstring), so the meter sits at /proc/<jvm>/io where nothing can
 bypass it.
 
+The JSON also carries the north metric's second clause untimed:
+``rank_identity_rate`` — BM25 top-10 rank identity vs the pure-pandas
+spec oracle over a reference-class query set on q1's index
+(driver-local surface; the distributed surfaces carry the same rate in
+scripts/bench_rank_identity.py and BENCH/BASELINE.md).
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (default 100000).
 """
@@ -336,6 +342,54 @@ def main() -> int:
             shutil.rmtree(sroot, ignore_errors=True)
 
         total = time.time() - t_all
+
+        # ---- north-metric second clause: BM25 top-10 rank-identity
+        # rate on a reference-class query set (BASELINE.json names it
+        # alongside build throughput).  UNTIMED — runs after the
+        # total-stamp so the pure-pandas spec oracle (~20 s at 100k
+        # docs) never pollutes the perf series; reuses q1's index via
+        # the driver-local surface (ms per query; the distributed
+        # surfaces carry the same rate in scripts/bench_rank_identity
+        # .py and BENCH/BASELINE.md).  Skipped if the corpus is
+        # overridden past what a driver-side oracle should chew. ----
+        rank_identity: dict | None = None
+        if bench_docs <= 150_000:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "scripts"))
+            from bench_rank_identity import build_query_set
+
+            from invertedindexbuilder_spark.operators.local_query import (
+                LocalIndex,
+                topk_local,
+            )
+            from invertedindexbuilder_spark.operators.query_exec import (
+                tokenize_query,
+            )
+            from tests.oracle_util import CorpusOracle
+
+            oracle = CorpusOracle(bench_docs)
+            li = LocalIndex(out)
+            ok = evals = 0
+            for qtext in build_query_set(oracle):
+                for mode in ("and", "or"):
+                    want = oracle.topk(tokenize_query(qtext), mode, 10)
+                    got = topk_local(li, qtext, mode=mode, k=10)
+                    evals += 1
+                    ok += int(
+                        [g[0] for g in got] == [w[0] for w in want]
+                        and len(got) == len(want)
+                        and all(
+                            abs(gs - ws) <= 1e-9 * max(1.0, abs(ws))
+                            for (_, gs), (_, ws) in zip(got, want)
+                        )
+                    )
+            rank_identity = {
+                "rank_identity_rate": round(ok / evals, 6) if evals else None,
+                "rank_identity_evals": evals,
+                "rank_identity_surface": "driver_local",
+            }
+
         timings = meter.timings
         build_s = timings["build_index"]
         canary_end = cpu_canary()
@@ -386,6 +440,7 @@ def main() -> int:
                     "build_docs_per_sec": round(bench_docs / build_s, 1),
                     "salted_terms": manifest["phases"]["index"]["salted_terms"],
                     "cpus": cpus,
+                    **(rank_identity or {}),
                 }
             )
         )
