@@ -25,6 +25,17 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # Python WORKERS inherit sys.path from PYTHONPATH, not from the
+    # driver's sys.path mutations — without this, any script run from a
+    # cwd other than the repo root dies in the first pandas UDF with
+    # "No module named 'invertedindexbuilder_spark'" (on a real cluster
+    # spark-submit --py-files engine.zip plays this role).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else "")
+        )
     # Bare local[N] hard-codes maxFailures=1: ONE crashed python worker
     # (observed: a silent worker death in a 240-task 30M-doc build)
     # fails the whole job.  Long benches pass task_retries>1, matching
