@@ -93,14 +93,16 @@ CANONICAL_ORDER = [
     "bm25_and_deleted",
     "search_dfs_purged",
     # r7 additions (purge id_remap, disjunctive scan prune, sharded
-    # scatter-gather serving): canonical-last — with 67 gates the r7
-    # offset is (67-50)*7 % 67 = 52, so the window covers canonical
-    # indices 52..66 + 0..34: all three debuts (64, 65, 66) land a
-    # driver row, and tests/test_gate_rotation.py pins that the new
+    # scatter-gather serving, facet counts): canonical-last — with 69
+    # gates the r7 offset is (69-50)*7 % 69 = 64, so the window covers
+    # canonical indices 64..68 + 0..44: all five debuts (64..68) land
+    # a driver row, and tests/test_gate_rotation.py pins that the new
     # step still tiles (any two consecutive windows cover every gate)
     "purge_id_remap",
     "bm25_or_ioprune",
     "bm25_sharded",
+    "facet_counts_and",
+    "facet_counts_or",
 ]
 
 

@@ -15,6 +15,8 @@ from .shared import (
     bm25_sql,
     built,
     chunked,
+    documents,
+    facet_sql,
     shard_envs,
 )
 
@@ -153,6 +155,32 @@ def queries() -> dict:
         )
         return out.select("doc_id", "score")
 
+    def facet_counts_and(spark, sf_dir):
+        # facet distribution of the boolean match set (search-UI
+        # companion to ranking; r7): merged layout, AND semantics
+        from invertedindexbuilder_spark.operators.query_exec import (
+            facet_counts,
+        )
+
+        env = built(spark, sf_dir)
+        fac = documents(spark, sf_dir).select("doc_id", "lang", "source")
+        return facet_counts(
+            spark, env["index"], fac, "data join",
+            ["lang", "source"], mode="and",
+        )
+
+    def facet_counts_or(spark, sf_dir):
+        # the same operator against the CHUNKED serving table, OR mode
+        from invertedindexbuilder_spark.operators.query_exec import (
+            facet_counts,
+        )
+
+        chunks = chunked(spark, sf_dir)
+        fac = documents(spark, sf_dir).select("doc_id", "lang")
+        return facet_counts(
+            spark, chunks, fac, "merge window", ["lang"], mode="or",
+        )
+
     return {
         "bm25_and": bm25_and,
         "bm25_or": bm25_or,
@@ -167,6 +195,8 @@ def queries() -> dict:
         "bm25_and_deleted": bm25_and_deleted,
         "bm25_or_ioprune": bm25_or_ioprune,
         "bm25_sharded": bm25_sharded,
+        "facet_counts_and": facet_counts_and,
+        "facet_counts_or": facet_counts_or,
     }
 
 
@@ -210,4 +240,11 @@ def oracle_sql() -> dict:
         "bm25_sharded": bm25_sql(
             [("data", 1), ("filter", 1), ("merge", 1)], "or", 10
         ),
+        # facet counts over the boolean match set: unknown terms drop,
+        # AND = every matched term present; deterministic total order
+        # (count desc, facet values asc) on both engines
+        "facet_counts_and": facet_sql(
+            ["data", "join"], "and", ["lang", "source"]
+        ),
+        "facet_counts_or": facet_sql(["merge", "window"], "or", ["lang"]),
     }

@@ -86,6 +86,37 @@ def bm25_sql(
     )
 
 
+def facet_sql(terms: list[str], mode: str, facet_cols: list[str]) -> str:
+    """Oracle twin of operators/query_exec.facet_counts: facet counts
+    of the boolean match set (unknown terms drop, reference parser
+    semantics; AND = doc holds every MATCHED term), deterministic
+    total order = count desc then facet values asc on both engines."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    matchset = (
+        "SELECT doc_id FROM hits WHERE nk = (SELECT count(*) FROM matched)"
+        if mode == "and"
+        else "SELECT doc_id FROM hits"
+    )
+    cols = ", ".join(facet_cols)
+    return (
+        f"WITH qterms(term) AS (VALUES {vals}), "
+        + TOKENIZE_CTE
+        + f""",
+tdf AS (SELECT DISTINCT term FROM postings),
+matched AS (SELECT q.term FROM qterms q JOIN tdf t USING (term)),
+hits AS (
+  SELECT p.doc_id, count(DISTINCT p.term) AS nk
+  FROM postings p JOIN matched m USING (term)
+  GROUP BY p.doc_id
+),
+matchset AS ({matchset})
+SELECT {cols}, count(*)::BIGINT AS n_docs
+FROM matchset JOIN documents USING (doc_id)
+GROUP BY {cols}
+ORDER BY n_docs DESC, {cols}"""
+    )
+
+
 def bm25_batch_sql(
     queries: list[tuple[int, list[tuple[str, int]]]], mode: str, k: int
 ) -> str:

@@ -1402,3 +1402,78 @@ def _score_topk(
         agg = agg.withColumn("score", F.round(F.col("score"), round_digits))
     # ties toward earlier-seen (smaller) doc_id = reference heap policy
     return agg.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def facet_counts(
+    spark: SparkSession,
+    index: DataFrame,
+    facets: DataFrame,
+    query: str,
+    facet_cols: list[str],
+    mode: str = "and",
+    top: int | None = None,
+    strict: bool = True,
+    exclude_doc_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Facet distribution of the documents matching ``query`` ->
+    DataFrame(*facet_cols, n_docs) ordered by count desc.
+
+    The search-UI companion to :func:`topk_bm25`: "this query matches
+    1,204 python docs from github, 310 go docs from gitlab, ..." —
+    boolean match semantics (AND: doc holds every matched key; OR:
+    any), no scoring, so unknown terms drop exactly as the reference's
+    query parser drops them (reference query.c:52-112 has no facet
+    surface — this is part of the serving extension layer, like
+    boolean NOT).
+
+    ``index``: merged INDEX or INDEX_CHUNK frame (layout detected by
+    the ``first_doc_id`` column, same lexicon semantics either way).
+    ``facets``: (doc_id, *facet_cols) frame — any docs-side attribute
+    table.  ``exclude_doc_ids``: tombstone frame, anti-joined against
+    the match set (plans/deletes.py logical deletion), so facet counts
+    honor deletions like every other query surface.
+
+    Scale shape: the lookup shares the single payload-bearing pushed
+    scan with BM25 serving; the match set is ONE doc_id aggregate
+    (count(*) == count_distinct(key): (key, doc_id) is unique per the
+    _score_topk argument); the facet join shuffles only matched ids
+    against the facet table; the final groupBy map-side-combines to
+    #distinct facet values.  No payload ever reaches the driver.
+    """
+    terms = tokenize_query(query)
+    if "first_doc_id" in index.columns:
+        matched, winners = _lookup_chunk_meta(index, terms, strict)
+        n_keys = len(winners)
+    else:
+        matched = lookup_index_rows(index, terms, strict)
+        n_keys = matched.select("key").distinct().count()
+    if mode not in ("and", "or"):
+        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    facet_side = facets.select("doc_id", *facet_cols)
+    if n_keys == 0:
+        return facet_side.drop("doc_id").limit(0).withColumn(
+            "n_docs", F.lit(0).cast("long")
+        )
+    decoded = decode_matched_rows(matched)
+    if mode == "and":
+        match_ids = (
+            decoded.groupBy("doc_id")
+            .agg(F.count("*").alias("_nk"))
+            .filter(F.col("_nk") == F.lit(n_keys))
+            .select("doc_id")
+        )
+    else:
+        match_ids = decoded.select("doc_id").distinct()
+    if exclude_doc_ids is not None:
+        match_ids = match_ids.join(
+            exclude_doc_ids.select("doc_id"), "doc_id", "left_anti"
+        )
+    out = (
+        match_ids.join(facet_side, "doc_id")
+        .groupBy(*facet_cols)
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy(
+            F.col("n_docs").desc(), *[F.col(c).asc() for c in facet_cols]
+        )
+    )
+    return out.limit(top) if top is not None else out

@@ -50,6 +50,12 @@ def main() -> int:
                     default=None,
                     help="with --spark: faceted search — a SQL predicate "
                          "over docs columns, e.g. 'doc_id % 3 = 0'")
+    ap.add_argument("--facets", metavar="COL1,COL2", default=None,
+                    help="with --spark: print the facet distribution "
+                         "(count desc) of the boolean match set over "
+                         "docs-table columns — e.g. --facets repo — "
+                         "instead of ranking "
+                         "(operators/query_exec.facet_counts)")
     ap.add_argument("--explain", action="store_true",
                     help="with --spark: print a JSON line of pruning "
                          "evidence to stderr after each query — blocks "
@@ -246,6 +252,7 @@ def _spark_runner(args):
                 sh["tombstones"] = None
         view = sharded_view(shards)
         index = view["chunks"].cache()
+        docs_full = view["docs"]
         docs = view["docs"].select("doc_id", "url", "doc_len").cache()
         index.count(), docs.count()  # warm the caches (Q1 session load)
         stats = view["stats"]
@@ -260,7 +267,8 @@ def _spark_runner(args):
         cat = Catalog(spark, args.index)
         table = "index_chunks" if args.chunked else "index"
         index = cat.read(table).cache()
-        docs = cat.read("docs").select("doc_id", "url", "doc_len").cache()
+        docs_full = cat.read("docs")
+        docs = docs_full.select("doc_id", "url", "doc_len").cache()
         index.count(), docs.count()  # warm the caches (Q1 session load)
         stats = load_stats(spark, args.index)
         exec_fn = topk_bm25_chunked if args.chunked else topk_bm25
@@ -279,6 +287,26 @@ def _spark_runner(args):
 
     def run(query: str, mode: str, k: int) -> None:
         t0 = time.time()
+        if args.facets:
+            from invertedindexbuilder_spark.operators.query_exec import (
+                facet_counts,
+            )
+
+            cols = [c.strip() for c in args.facets.split(",") if c.strip()]
+            missing = [c for c in cols if c not in docs_full.columns]
+            if missing:
+                print(f"--facets: {missing} not in docs table columns "
+                      f"{docs_full.columns}", file=sys.stderr)
+                return
+            rows = facet_counts(
+                spark, index, docs_full.select("doc_id", *cols), query,
+                cols, mode=mode, exclude_doc_ids=tombstones,
+            ).collect()
+            dt = (time.time() - t0) * 1000
+            for r in rows:
+                print("\t".join([str(r["n_docs"])] + [str(r[c]) for c in cols]))
+            print(f"# {len(rows)} facet rows in {dt:.0f} ms", file=sys.stderr)
+            return
         kw = {}
         counters = None
         if args.explain:

@@ -1,0 +1,143 @@
+"""Facet counts over the boolean match set (query_exec.facet_counts):
+counts vs a brute-force recompute on a corpus with known facet
+structure, merged/chunked parity, OR vs AND, unknown-term drop,
+all-unknown empty frame, tombstone exclusion, and the top-N limit.
+(The reference's query surface has no facet analog — serving
+extension layer, like boolean NOT.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from invertedindexbuilder_spark.operators.index_build import (
+    build_index,
+    encode_chunks,
+)
+from invertedindexbuilder_spark.operators.postings import build_postings
+from invertedindexbuilder_spark.operators.query_exec import facet_counts
+from invertedindexbuilder_spark.sources.docs_src import (
+    docs_from_documents_table,
+)
+
+UNSALTED = 1 << 62
+
+LANGS = ["py", "go", "rs"]
+SOURCES = ["gh", "gl"]
+
+
+def _toks(d: int) -> set[str]:
+    toks = set()
+    if d % 2 == 0:
+        toks.add("data")
+    if d % 3 == 0:
+        toks.add("join")
+    if d % 5 == 0:
+        toks.add("window")
+    toks.add("common")
+    return toks
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    rows = [
+        (d, " ".join(sorted(_toks(d))) + " .", LANGS[d % 3], SOURCES[d % 2])
+        for d in range(90)
+    ]
+    documents = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    docs = docs_from_documents_table(documents).cache()
+    postings = build_postings(docs).cache()
+    return {
+        "index": build_index(postings, salt_threshold=UNSALTED).cache(),
+        "chunks": encode_chunks(
+            postings, salt_threshold=16, chunk_blocks=1
+        ).cache(),
+        "facets": documents.select("doc_id", "lang", "source").cache(),
+    }
+
+
+def _expect(match_ids, cols=("lang", "source")):
+    counts: dict[tuple, int] = {}
+    for d in match_ids:
+        key = tuple(
+            {"lang": LANGS[d % 3], "source": SOURCES[d % 2]}[c] for c in cols
+        )
+        counts[key] = counts.get(key, 0) + 1
+    return counts
+
+
+def _got(df, n_cols=2):
+    return {
+        tuple(r[i] for i in range(n_cols)): r["n_docs"] for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("layout", ["index", "chunks"])
+def test_and_mode_counts(spark, env, layout):
+    out = facet_counts(
+        spark, env[layout], env["facets"], "data join",
+        ["lang", "source"], mode="and",
+    )
+    want = _expect([d for d in range(90) if d % 6 == 0])
+    assert _got(out) == want
+    # ordering contract: count desc, then facet values asc
+    rows = out.collect()
+    keys = [(-r["n_docs"], r["lang"], r["source"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+@pytest.mark.parametrize("layout", ["index", "chunks"])
+def test_or_mode_counts(spark, env, layout):
+    out = facet_counts(
+        spark, env[layout], env["facets"], "data window",
+        ["lang"], mode="or",
+    )
+    want = _expect(
+        [d for d in range(90) if d % 2 == 0 or d % 5 == 0], cols=("lang",)
+    )
+    assert _got(out, n_cols=1) == {(k[0],): v for k, v in want.items()}
+
+
+def test_unknown_term_drops_from_and(spark, env):
+    # reference parser semantics: unknown terms drop, the rest match
+    out = facet_counts(
+        spark, env["index"], env["facets"], "data zzznotaterm",
+        ["source"], mode="and",
+    )
+    want = _expect([d for d in range(90) if d % 2 == 0], cols=("source",))
+    assert _got(out, n_cols=1) == {(k[0],): v for k, v in want.items()}
+
+
+def test_all_unknown_is_empty_with_schema(spark, env):
+    out = facet_counts(
+        spark, env["chunks"], env["facets"], "zzz qqq",
+        ["lang", "source"], mode="or",
+    )
+    assert out.columns == ["lang", "source", "n_docs"]
+    assert out.count() == 0
+
+
+def test_tombstones_leave_facet_counts(spark, env):
+    tomb = env["facets"].select("doc_id").filter(F.col("doc_id") % 9 == 0)
+    out = facet_counts(
+        spark, env["index"], env["facets"], "data join",
+        ["lang"], mode="and", exclude_doc_ids=tomb,
+    )
+    want = _expect(
+        [d for d in range(90) if d % 6 == 0 and d % 9 != 0], cols=("lang",)
+    )
+    assert _got(out, n_cols=1) == {(k[0],): v for k, v in want.items()}
+
+
+def test_top_limits_rows(spark, env):
+    full = facet_counts(
+        spark, env["index"], env["facets"], "common",
+        ["lang", "source"], mode="or",
+    ).collect()
+    top2 = facet_counts(
+        spark, env["index"], env["facets"], "common",
+        ["lang", "source"], mode="or", top=2,
+    ).collect()
+    assert [tuple(r) for r in top2] == [tuple(r) for r in full[:2]]
