@@ -263,6 +263,18 @@ def main() -> int:
                     topk_bm25_batch(
                         spark, chunks3, docs3, stats3, qtab, mode="and", k=10
                     ).collect()
+                # facet distribution of the match set (r7): one doc_id
+                # aggregate + matched-ids facet join at 1M docs
+                from invertedindexbuilder_spark.operators.query_exec import (
+                    facet_counts,
+                )
+
+                fac3 = cat3.read("docs").select("doc_id", "repo")
+                with meter.q("big_facet_counts"):
+                    facet_counts(
+                        spark, chunks3, fac3, "common rare0007",
+                        ["repo"], mode="and",
+                    ).collect()
                 chunks3.unpersist()
                 docs3.unpersist()
             finally:
