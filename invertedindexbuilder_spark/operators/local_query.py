@@ -76,6 +76,8 @@ class LocalIndex:
 
         from invertedindexbuilder_spark.catalog import resolve_table_path
 
+        self.index_root = index_root  # for lazy docs-side reads (facets)
+
         def _p(name: str) -> str:
             # resolve generation pointers (tables.json) like Catalog does
             return resolve_table_path(index_root, name)
@@ -229,6 +231,27 @@ def _drop_excluded(d: np.ndarray, t: np.ndarray, ex: np.ndarray | None):
     return d[~hit], t[~hit]
 
 
+def _match_rows(
+    li: LocalIndex, query: str, strict: bool = True
+) -> list[tuple[dict, int]]:
+    """Lexicon lookup shared by ranking and facets: (row, weight) per
+    matched key (D5 collision winner, duplicate-term weights, unknown
+    terms dropped), shortest-list-first (Q5)."""
+    weights: dict[str, int] = {}
+    for t in tokenize_query(query):
+        key = t[:LEXICON_KEY_LEN] if strict else t
+        weights[key] = weights.get(key, 0) + 1
+    matched: list[tuple[dict, int]] = []
+    seen = set()
+    for key, w in weights.items():
+        row = li.lookup(key, strict=strict)
+        if row is not None and row["term"] not in seen:
+            seen.add(row["term"])
+            matched.append((row, w))
+    matched.sort(key=lambda rw: rw[0]["df"])
+    return matched
+
+
 def topk_local(
     li: LocalIndex,
     query: str,
@@ -242,21 +265,9 @@ def topk_local(
     ``apply_tombstones``: exclude logically-deleted docs (the index's
     ``deleted_docs`` table, plans/deletes.py); stats stay as-indexed —
     identical semantics to the Spark paths' ``exclude_doc_ids``."""
-    terms = tokenize_query(query)
-    weights: dict[str, int] = {}
-    for t in terms:
-        key = t[:LEXICON_KEY_LEN] if strict else t
-        weights[key] = weights.get(key, 0) + 1
-    matched: list[tuple[dict, int]] = []
-    seen = set()
-    for key, w in weights.items():
-        row = li.lookup(key, strict=strict)
-        if row is not None and row["term"] not in seen:
-            seen.add(row["term"])
-            matched.append((row, w))
+    matched = _match_rows(li, query, strict)
     if not matched:
         return []
-    matched.sort(key=lambda rw: rw[0]["df"])  # shortest-list-first (Q5)
 
     ex = li.tombstones if apply_tombstones else None
     if mode == "and":
@@ -367,3 +378,77 @@ def _disjunctive(li, matched, k, ex=None):
         if not grew:
             break
     return _dense_topk(scores, mask, k)
+
+
+def match_ids_local(
+    li: LocalIndex,
+    query: str,
+    mode: str = "and",
+    strict: bool = True,
+    apply_tombstones: bool = True,
+) -> np.ndarray:
+    """Sorted doc_ids of the boolean match set (no scoring) — the
+    driver-local twin of the match set inside query_exec.facet_counts.
+    AND reuses the conjunctive leapfrog (rarest list seeds candidates,
+    other lists decode candidate-overlapping blocks only); OR is the
+    union of full decodes — facet counts are exact over the WHOLE
+    match set, so there is no lossless pruning shortcut for OR."""
+    matched = _match_rows(li, query, strict)
+    if not matched:
+        return np.empty(0, dtype=np.int64)
+    if mode == "and":
+        ids, _ = li.decode_all(matched[0][0])
+        for row, _w in matched[1:]:
+            if ids.size == 0:
+                break
+            d, _t = li._decode_blocks(row, li.blocks_overlapping(row, ids))
+            ids = ids[np.isin(ids, d, assume_unique=True)]
+    elif mode == "or":
+        ids = np.unique(
+            np.concatenate([li.decode_all(row)[0] for row, _w in matched])
+        )
+    else:
+        raise ValueError(mode)
+    ex = li.tombstones if apply_tombstones else None
+    ids, _ = _drop_excluded(ids, ids, ex)
+    return ids
+
+
+def facet_counts_local(
+    li: LocalIndex,
+    query: str,
+    facet_cols: list[str],
+    mode: str = "and",
+    top: int | None = None,
+    strict: bool = True,
+    apply_tombstones: bool = True,
+) -> list[tuple]:
+    """Facet distribution of the boolean match set from the local
+    session — result-identical to query_exec.facet_counts over the
+    same build root (pinned in tests/test_facet_counts.py): a list of
+    (*facet values, n_docs) tuples, count desc then facet values asc.
+    The facet columns read lazily from the build's docs table (one
+    column-pruned parquet read per session call — facets are not part
+    of the eagerly-loaded session state)."""
+    import pandas as pd  # noqa: F401  (pyarrow.to_pandas dependency)
+
+    from invertedindexbuilder_spark.catalog import resolve_table_path
+
+    ids = match_ids_local(li, query, mode, strict, apply_tombstones)
+    if ids.size == 0:
+        return []
+    fac = pq.read_table(
+        resolve_table_path(li.index_root, "docs"),
+        columns=["doc_id"] + list(facet_cols),
+    ).to_pandas()
+    fac = fac[fac["doc_id"].isin(ids)]
+    counts = fac.groupby(list(facet_cols)).size().reset_index(name="n_docs")
+    counts = counts.sort_values(
+        ["n_docs"] + list(facet_cols),
+        ascending=[False] + [True] * len(facet_cols),
+    )
+    rows = [
+        tuple(r[:-1]) + (int(r[-1]),)
+        for r in counts.itertuples(index=False)
+    ]
+    return rows[:top] if top is not None else rows

@@ -119,6 +119,23 @@ def main() -> int:
 
         def run(query: str, mode: str, k: int) -> None:
             t0 = time.time()
+            if args.facets:
+                from invertedindexbuilder_spark.operators.local_query import (
+                    facet_counts_local,
+                )
+
+                cols = [c.strip() for c in args.facets.split(",") if c.strip()]
+                rows = facet_counts_local(
+                    li, query, cols, mode=mode,
+                    strict=not args.no_strict,
+                    apply_tombstones=not args.ignore_tombstones,
+                )
+                dt = (time.time() - t0) * 1000
+                for r in rows:
+                    print("\t".join(str(v) for v in (r[-1],) + r[:-1]))
+                print(f"# {len(rows)} facet rows in {dt:.0f} ms",
+                      file=sys.stderr)
+                return
             res = topk_local(li, query, mode=mode, k=k,
                              strict=not args.no_strict,
                              apply_tombstones=not args.ignore_tombstones)

@@ -141,3 +141,56 @@ def test_top_limits_rows(spark, env):
         ["lang", "source"], mode="or", top=2,
     ).collect()
     assert [tuple(r) for r in top2] == [tuple(r) for r in full[:2]]
+
+
+@pytest.fixture(scope="module")
+def built_root(spark, tmp_path_factory):
+    from invertedindexbuilder_spark.plans.build import build
+    from invertedindexbuilder_spark.sources.docs_src import (
+        synthetic_docs_src,
+    )
+
+    out = str(tmp_path_factory.mktemp("fc") / "idx")
+    build(spark, synthetic_docs_src(spark, 600), out, write_chunks=True)
+    return out
+
+
+@pytest.mark.parametrize("query,mode", [
+    ("alpha common", "and"), ("alpha beta", "or"),
+])
+def test_local_facets_match_spark_surface(spark, built_root, query, mode):
+    import numpy as np
+
+    from invertedindexbuilder_spark.catalog import Catalog
+    from invertedindexbuilder_spark.operators.local_query import (
+        LocalIndex,
+        facet_counts_local,
+    )
+
+    cat = Catalog(spark, built_root)
+    fac = cat.read("docs").select("doc_id", "repo")
+    want = [
+        (r["repo"], r["n_docs"])
+        for r in facet_counts(
+            spark, cat.read("index"), fac, query, ["repo"], mode=mode
+        ).collect()
+    ]
+    li = LocalIndex(built_root)
+    got = facet_counts_local(li, query, ["repo"], mode=mode)
+    assert got == want
+    # tombstones leave the local counts exactly like exclude_doc_ids
+    # leaves the Spark counts
+    from invertedindexbuilder_spark.operators.query_exec import (
+        facet_counts as fc,
+    )
+
+    li.tombstones = np.arange(0, 600, 7, dtype=np.int64)
+    tomb = fac.select("doc_id").filter(F.col("doc_id") % 7 == 0)
+    want_t = [
+        (r["repo"], r["n_docs"])
+        for r in fc(
+            spark, cat.read("index"), fac, query, ["repo"], mode=mode,
+            exclude_doc_ids=tomb,
+        ).collect()
+    ]
+    assert facet_counts_local(li, query, ["repo"], mode=mode) == want_t
