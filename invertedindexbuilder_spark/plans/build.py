@@ -157,7 +157,7 @@ def build(
     chunk_blocks: int | None = None,
     checkpoint_postings: bool = False,
     num_partitions: int | None = None,
-    tokenizer: str = "jvm",
+    tokenizer: str = "arrow",
     write_chunks: bool = False,
     merged: bool = True,
 ) -> dict:
@@ -289,6 +289,10 @@ def build(
         # exists to avoid — core count is all the concurrency there is
         docs_tok = docs_tok.repartition(tok_par)
 
+    # "arrow" (r8 default): the mapInArrow RE2 tokenizer — measured
+    # ~3.7x the JVM expression path at 1M docs on this box (10.4 s vs
+    # 29.6 s gen+tokenize noop; guide §4.2).  "jvm" stays selectable
+    # for clusters where keeping work off the Python workers wins.
     tokenize = build_postings_jvm if tokenizer == "jvm" else build_postings
 
     # ---- phase 2: postings (PARSE main output; optional checkpoint = the
@@ -745,7 +749,7 @@ def compact(
     out_root: str,
     salt_threshold: int | None = None,
     chunk_blocks: int | None = None,
-    tokenizer: str = "jvm",
+    tokenizer: str = "arrow",
     num_partitions: int | None = None,
     validate: bool = True,
     streamed_postings: DataFrame | None = None,

@@ -60,6 +60,26 @@ def _gen_rows(
     return pd.DataFrame(rows)
 
 
+# zipf-ish mid-frequency weights, hoisted (r8): recomputing the
+# normalized array per document was ~15 % of generation time; the
+# module-level value is float-identical to the old per-call computation
+_ZIPF_W = 1.0 / np.arange(1, len(MID_TERMS) + 1)
+_ZIPF_W /= _ZIPF_W.sum()
+# pre-converted ndarray: Generator.choice converts a Python list to an
+# array on EVERY call; passing the array consumes the identical random
+# stream (conversion happens before any drawing), so output bytes are
+# unchanged (pinned in tests/test_trec_source.py::test_gen_rows_pinned)
+_MID_TERMS_ARR = np.array(MID_TERMS)
+# Generator.choice(p=...) recomputes cdf = p.cumsum(); cdf /= cdf[-1]
+# and then draws ONE rng.random(size) batch and searchsorts it
+# (side='right').  Precomputing the identical cdf and issuing the same
+# single random() call reproduces choice's output bit-for-bit while
+# skipping its per-call validation/allocation (~25 % of generation) —
+# byte-identity pinned in tests/test_trec_source.py::test_gen_rows_pinned.
+_ZIPF_CDF = _ZIPF_W.cumsum()
+_ZIPF_CDF /= _ZIPF_CDF[-1]
+
+
 def _gen_content(
     rng: np.random.Generator, i: int, token_range: tuple[int, int] = (5, 401)
 ) -> str:
@@ -71,22 +91,22 @@ def _gen_content(
     parts: list[str] = []
     if rng.random() < 0.95:
         parts.append("common")  # stopword-like: df >> 128 => multi-block
-    # zipf-ish mid-frequency body
-    zipf_w = 1.0 / np.arange(1, len(MID_TERMS) + 1)
-    zipf_w /= zipf_w.sum()
-    parts.extend(rng.choice(MID_TERMS, size=n_tokens, p=zipf_w).tolist())
+    # zipf-ish mid-frequency body (== rng.choice(MID_TERMS, size=n,
+    # p=_ZIPF_W) — see _ZIPF_CDF note)
+    idx = _ZIPF_CDF.searchsorted(rng.random(n_tokens), side="right")
+    parts.extend(_MID_TERMS_ARR[idx].tolist())
     if rng.random() < 0.12:
         parts.append(f"rare{int(rng.integers(0, 400)):04d}")
     if rng.random() < 0.25:
         parts.append(SPECIALS[int(rng.integers(0, len(SPECIALS)))])
     if i % 50 < 3:
         parts.append("zzzsentinel")  # D2 sentinel (byte-wise largest term)
-    # join with spaces, occasional newline
-    out = []
-    for j, tok in enumerate(parts):
-        out.append(tok)
-        out.append("\n" if j % 17 == 16 else " ")
-    body = "".join(out[:-1])
+    # sep after token j is "\n" when j % 17 == 16 else " ": equivalent
+    # to space-joining groups of 17 and newline-joining the groups
+    # (r8 — replaces a per-token append loop, byte-identical)
+    body = "\n".join(
+        " ".join(parts[k : k + 17]) for k in range(0, len(parts), 17)
+    )
     # D0 edge: half the docs end in an alnum char (their last token is
     # dropped by the reference tokenizer), half end with punctuation.
     if i % 2 == 0:

@@ -97,7 +97,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=120_000)
     ap.add_argument("--skip-gen", action="store_true")
-    ap.add_argument("--tokenizer", choices=["pandas", "jvm"], default="jvm")
+    ap.add_argument("--tokenizer", choices=["arrow", "pandas", "jvm"], default="arrow")
     ap.add_argument("--no-md", action="store_true",
                     help="print JSON only, don't rewrite BENCH/BASELINE.md")
     ap.add_argument("--reps", type=int, default=1,

@@ -52,11 +52,13 @@ def main() -> int:
     ap.add_argument("--sample-fraction", type=float, default=None,
                     help="index only a deterministic fraction of docs "
                          "(reference -p flag analog, S4)")
-    ap.add_argument("--tokenizer", choices=["pandas", "jvm"], default="jvm",
-                    help="jvm (default): pure column expressions, 0.86 "
-                         "pinned scaling efficiency, equal throughput at "
-                         ">=8 cores; pandas: Arrow-batched, ~30%% faster "
-                         "at very low core counts")
+    ap.add_argument("--tokenizer", choices=["arrow", "pandas", "jvm"],
+                    default="arrow",
+                    help="arrow (default, r8): mapInArrow RE2 tokenizer, "
+                         "~3.7x the jvm path at 1M docs; pandas is an "
+                         "alias for the same arrow-backed build_postings; "
+                         "jvm: pure column expressions, kept for clusters "
+                         "that must stay off the Python workers")
     ap.add_argument("--search-tables", action="store_true",
                     help="also materialize the search-extension "
                          "indexes (positional postings, char trigrams, "

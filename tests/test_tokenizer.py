@@ -71,5 +71,62 @@ def test_postings_frame_tf_and_types():
     assert str(df["tf"].dtype) == "int32"
 
 
+def _arrow_postings(doc_ids, texts):
+    import pyarrow as pa
+
+    from invertedindexbuilder_spark.operators.postings import _postings_batch
+
+    batch = pa.record_batch(
+        [pa.array(doc_ids, type=pa.int64()), pa.array(texts, type=pa.string())],
+        names=["doc_id", "content"],
+    )
+    out = _postings_batch(batch)
+    if out is None:
+        return set()
+    return set(
+        zip(
+            out.column(0).to_pylist(),
+            out.column(1).to_pylist(),
+            out.column(2).to_pylist(),
+        )
+    )
+
+
+def test_arrow_batch_equals_pandas_frame():
+    """The r8 Arrow-native build_postings kernel must emit the exact
+    (term, doc_id, tf) multiset of the pandas spec path on every known
+    edge case (D0, 15/16 boundary, empties, None)."""
+    texts = [c[0] for c in CASES] + [None]
+    ids = list(range(len(texts)))
+    ref = postings_frame(
+        pd.Series(ids, dtype="int64"), pd.Series(texts, dtype="object")
+    )
+    want = {(r.term, r.doc_id, r.tf) for r in ref.itertuples()}
+    assert _arrow_postings(ids, texts) == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                list("abcXYZ019 .,_-()\t\n!é")
+                + ["abcdefghijklmno", "abcdefghijklmnop"]
+            ),
+            max_size=40,
+        ).map("".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_arrow_batch_equals_pandas_frame_property(texts):
+    ids = list(range(len(texts)))
+    ref = postings_frame(
+        pd.Series(ids, dtype="int64"), pd.Series(texts, dtype="object")
+    )
+    want = {(r.term, r.doc_id, r.tf) for r in ref.itertuples()}
+    assert _arrow_postings(ids, texts) == want
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

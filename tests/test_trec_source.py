@@ -45,3 +45,39 @@ def test_url_filter_drops_non_h(spark, tmp_path):
         f.write("<DOC>\n<TEXT>\nftp://nope/x#0\ndropped doc.\n</TEXT>\n</DOC>\n")
     got = read_trec(spark, trec).collect()
     assert len(got) == 1 and got[0]["url"].startswith("http://ok")
+
+
+def test_gen_rows_pinned():
+    """FIXTURES.md determinism contract: the synthetic generator's
+    output is pinned byte-for-byte (sha256 over all columns) so perf
+    work on _gen_content (r8: hoisted zipf cdf, manual choice
+    replication, grouped join) can never silently change the corpus —
+    bench/scaling comparability across rounds depends on it."""
+    import hashlib
+
+    import numpy as np
+
+    from invertedindexbuilder_spark.sources.docs_src import _gen_rows
+
+    want = {
+        (0, 5000): "c08757ba87bffc1d210ec8e5dd5326f7361cdb2d11814039a085620ba8dac2ee",
+        (997, 1003): "75bae19db2ad1005a29aed99dc7f4ff12c7191656c0053a742d863189fb9e527",
+        (99997, 100003): "16e8e9b5eedf2871e71f38af352b11845db6dd7233354975ffc9a04f24731f67",
+        (999997, 1000003): "697eb756a91a1acadde887a3d9d1b6306b6042b6e66c995c0f69547214cd5326",
+    }
+    for (lo, hi), h0 in want.items():
+        df = _gen_rows(np.arange(lo, hi), 42)
+        h = hashlib.sha256(
+            (
+                "\x00".join(df["content"])
+                + "\x01".join(df["repo"])
+                + "\x01".join(df["path"])
+                + "\x01".join(df["commit"])
+                + "\x01".join(df["lang"])
+            ).encode()
+        ).hexdigest()
+        assert h == h0, f"generator output changed for rows [{lo}, {hi})"
+    # non-default seed + token_range path
+    df = _gen_rows(np.arange(0, 2000), 7, (10, 50))
+    h = hashlib.sha256("\x00".join(df["content"]).encode()).hexdigest()
+    assert h == "eb008abd6475d99399cac60bc491e20690479846c21cabb79a26e195fa002b83"
