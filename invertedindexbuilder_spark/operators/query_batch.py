@@ -36,15 +36,36 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import numpy as np
+
 from invertedindexbuilder_spark import LEXICON_KEY_LEN
 from invertedindexbuilder_spark.operators.query_exec import (
+    DOCLEN_PUSH_CAP,
+    _DECODED_SCHEMA,
+    _doc_lens_for,
+    _lookup_chunk_meta,
     _match_keys,
     bm25_expr,
     decode_matched_rows,
+    decode_matched_rows_bmw,
     tokenize_query,
 )
 
 _QKEYS_SCHEMA = "query_id long, key string, weight int"
+
+# Batch conjunctive candidate pruning (r8, VERDICT r7 #5): per query
+# the rarest matched key's decoded doc_ids bound the result set, so
+# the OTHER keys decode candidate-bearing blocks only and doc_lens
+# come from one In-pushed scan of the union candidate set — the batch
+# form of the single-query r7 machinery.  Engage only when (a) the
+# union candidate set stays within the doc_len pushdown cap and (b)
+# the would-be-skipped decode volume (sum of non-rare matched dfs)
+# clears this floor — below it the two extra driver jobs cost more
+# than the skipped decode (same shape as the single-query crossover,
+# scripts/bench_bmw.py).  Conf-overridable per deployment like the
+# other auto floors.
+BATCH_AND_PRUNE_MIN_SKIPPABLE = 100_000
+BATCH_AND_PRUNE_MIN_SKIPPABLE_CONF = "spark.iib.batchAndPruneMinSkippable"
 
 
 def _query_keys(queries: DataFrame, strict: bool) -> DataFrame:
@@ -108,23 +129,20 @@ def topk_bm25_batch(
     davr = float(stats["sum_doc_len"]) / float(n_docs - 1)
     chunked = "salt" in index.columns
 
+    winners: dict | None = None
+
     def _resolve(keys: dict) -> DataFrame:
         """Matched index rows for a key set, collision winners applied
         (same semantics as lookup_index_rows / lookup_chunk_rows)."""
-        m = _match_keys(index, keys, strict)
         if chunked:
-            # full-term df + collision winner from a tiny metadata agg
-            # (same shape as lookup_chunk_rows, batched over all keys)
-            per_term = m.groupBy("key", "term").agg(
-                F.sum("df").cast("long").alias("term_df")
-            )
-            w = Window.partitionBy("key").orderBy(F.col("term").desc())
-            winner = (
-                per_term.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-            return m.join(F.broadcast(winner), ["key", "term"])
+            # r8: the single-query metadata lookup — ONE payload-free
+            # collect derives collision winners + per-key stats on the
+            # driver and joins the winner set back as a broadcast
+            # literal (one payload-bearing scan; the old distributed
+            # row_number winner needed a shuffle for the same answer,
+            # and the stats now feed the candidate pruning below)
+            return _lookup_chunk_meta(index, list(keys), strict)[0]
+        m = _match_keys(index, keys, strict)
         if strict:
             winner = m.groupBy("key").agg(F.max("term").alias("term"))
             return m.join(F.broadcast(winner), ["key", "term"])
@@ -134,25 +152,138 @@ def topk_bm25_batch(
     # table in one narrow pass wherever the plan needs it (a cache here
     # would pin executor storage per batch in a long-running server)
     qkeys = _query_keys(queries, strict)
-    # the distinct keys of the whole batch, with a batch-level weight
-    # placeholder (the real per-query weight joins back after decode)
-    distinct_keys = {
-        r["key"]: 1 for r in qkeys.select("key").distinct().collect()
-    }
+    # collect the whole (query_id, key, weight) map — Q x terms rows,
+    # tiny for any realistic batch; the same single job the old
+    # distinct-keys collect ran, now also feeding the driver-side
+    # found-count and candidate-pruning decisions
+    qk_rows = qkeys.collect()
+    distinct_keys = {r["key"]: 1 for r in qk_rows}
     if not distinct_keys:
         return spark.createDataFrame(
             [], schema="query_id long, doc_id long, score double, rank int"
         )
-    matched = _resolve(distinct_keys)
+    if chunked:
+        matched, winners = _lookup_chunk_meta(
+            index, list(distinct_keys), strict
+        )
+    else:
+        matched = _resolve(distinct_keys)
 
-    # decode each matched row ONCE (weight=1 placeholder; the per-query
-    # weight multiplies in after the fan-out join)
-    decoded = decode_matched_rows(matched.withColumn("weight", F.lit(1)))
+    docs_join = docs.select("doc_id", "doc_len")
+    decoded = None
+    found_local: dict[int, int] | None = None
+    if winners is not None:
+        # per-query found counts, free from the lookup metadata
+        found_local = {}
+        by_q: dict[int, list[str]] = {}
+        for r in qk_rows:
+            if r["key"] in winners:
+                by_q.setdefault(int(r["query_id"]), []).append(r["key"])
+        found_local = {q: len(ks) for q, ks in by_q.items()}
+
+    if mode == "and" and winners:
+        # ---- batch conjunctive candidate pruning (r8) ----
+        rare_of = {
+            q: min(ks, key=lambda k: winners[k]["term_df"])
+            for q, ks in by_q.items()
+        }
+        rare_keys = sorted(set(rare_of.values()))
+        other_keys = sorted(set(winners) - set(rare_keys))
+        cand_total = sum(winners[k]["term_df"] for k in rare_keys)
+        skippable = sum(winners[k]["term_df"] for k in other_keys)
+        floor = spark.conf.get(BATCH_AND_PRUNE_MIN_SKIPPABLE_CONF, None)
+        floor = (
+            BATCH_AND_PRUNE_MIN_SKIPPABLE if floor is None else int(floor)
+        )
+        if (
+            other_keys
+            and 0 < cand_total <= DOCLEN_PUSH_CAP
+            and skippable >= floor
+        ):
+            def rows_for(keys: list[str]) -> DataFrame:
+                wdf = spark.createDataFrame(
+                    [
+                        (k, winners[k]["term"], winners[k]["term_df"])
+                        for k in keys
+                    ],
+                    schema="key string, term string, term_df long",
+                )
+                return _match_keys(index, {k: 1 for k in keys}, strict).join(
+                    F.broadcast(wdf), ["key", "term"]
+                )
+
+            rare_rows_df = decode_matched_rows(
+                rows_for(rare_keys).withColumn("weight", F.lit(1))
+            )
+            rrows = rare_rows_df.collect()  # <= cand_total rows
+            cand_by_key: dict[str, list[int]] = {}
+            for r in rrows:
+                cand_by_key.setdefault(r["key"], []).append(r["doc_id"])
+            all_cands = np.unique(
+                np.fromiter(
+                    (r["doc_id"] for r in rrows), np.int64, count=len(rrows)
+                )
+            )
+            # every AND result doc of query q is in q's rare list, so
+            # the union candidate set bounds every result doc: the
+            # other keys decode candidate-bearing blocks only (exact —
+            # a ride-along posting's doc is missing from its query's
+            # rare list and dies to the all-keys filter), and doc_lens
+            # for the whole batch come from one In-pushed scan instead
+            # of a corpus-scale doc_len join.
+            import collections
+
+            other_dec = decode_matched_rows_bmw(
+                rows_for(other_keys).withColumn("weight", F.lit(1)),
+                all_cands, float("inf"), collections.defaultdict(float),
+                n_docs=1 << 62, min_doc_len=1.0, davr=1.0,
+            )
+            rare_local = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "key": [r["key"] for r in rrows],
+                        "df": np.fromiter(
+                            (r["df"] for r in rrows), np.int64,
+                            count=len(rrows),
+                        ),
+                        "weight": np.ones(len(rrows), dtype=np.int32),
+                        "doc_id": np.fromiter(
+                            (r["doc_id"] for r in rrows), np.int64,
+                            count=len(rrows),
+                        ),
+                        "tf": np.fromiter(
+                            (r["tf"] for r in rrows), np.int64,
+                            count=len(rrows),
+                        ),
+                    }
+                ),
+                schema=_DECODED_SCHEMA,
+            )
+            decoded = rare_local.unionByName(other_dec)
+            dl_map = _doc_lens_for(docs, all_cands)
+            docs_join = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "doc_id": np.fromiter(
+                            dl_map.keys(), np.int64, count=len(dl_map)
+                        ),
+                        "doc_len": np.fromiter(
+                            dl_map.values(), np.float64, count=len(dl_map)
+                        ),
+                    }
+                ),
+                schema="doc_id long, doc_len double",
+            )
+
+    if decoded is None:
+        # decode each matched row ONCE (weight=1 placeholder; the
+        # per-query weight multiplies in after the fan-out join)
+        decoded = decode_matched_rows(matched.withColumn("weight", F.lit(1)))
 
     scored = (
         decoded.drop("weight")
         .join(F.broadcast(qkeys), "key")
-        .join(docs.select("doc_id", "doc_len"), "doc_id")
+        .join(docs_join, "doc_id")
         .withColumn("contrib", F.col("weight") * bm25_expr(n_docs, davr))
     )
     agg = scored.groupBy("query_id", "doc_id").agg(
@@ -163,14 +294,20 @@ def topk_bm25_batch(
         # docs containing ALL FOUND keys of their query: per-query found
         # count = distinct keys that matched at least one index row.
         # Computed from the MATCHED metadata (pre-decode — every matched
-        # row has df >= 1), so the decode pipeline runs exactly once.
-        found = (
-            matched.select("key")
-            .distinct()
-            .join(F.broadcast(qkeys), "key")
-            .groupBy("query_id")
-            .agg(F.count("*").alias("_need"))
-        )
+        # row has df >= 1), so the decode pipeline runs exactly once;
+        # with the chunked lookup the counts are already on the driver.
+        if found_local is not None:
+            found = spark.createDataFrame(
+                list(found_local.items()), schema="query_id long, _need long"
+            )
+        else:
+            found = (
+                matched.select("key")
+                .distinct()
+                .join(F.broadcast(qkeys), "key")
+                .groupBy("query_id")
+                .agg(F.count("*").alias("_need"))
+            )
         agg = agg.join(F.broadcast(found), "query_id").filter(
             F.col("_nk") == F.col("_need")
         )

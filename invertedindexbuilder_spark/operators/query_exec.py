@@ -136,6 +136,14 @@ AUTO_AND_PRUNE_MIN_DOCS = 10_000_000
 OR_IOPRUNE_META_CAP = 100_000
 OR_IOPRUNE_MAX_IDS = 20_000
 OR_IOPRUNE_KEEP_FRAC = 0.95
+# Scan pruning operates at CHUNK granularity: with fewer heavy chunk
+# rows than this, the payload-free metadata job costs more than the
+# handful of reads it could skip (measured r8: the 1M-doc forced-BMW
+# bench query spans ~13 heavy chunks, every one candidate-bearing, so
+# the meta job always fell through to the unpruned scan) — skip the
+# job outright.  Exact chunk counts ride the lookup's existing
+# metadata aggregate, so this check is free.
+OR_IOPRUNE_MIN_CHUNKS = 16
 # Candidate sets at or below this size fetch doc_lens through a
 # doc_id-PUSHED scan of the docs table (whose files are
 # doc_id-contiguous by construction: ids come from the build's range
@@ -153,6 +161,17 @@ DOCLEN_PUSH_CAP = 1000
 # effective chunk size — underestimating chunk count only delays
 # engagement (never engages a hopeless prune).
 APPROX_CHUNK_POSTINGS = 1_000_000
+# Conjunctive facet counts (r8): when the rarest key bounds the match
+# set under the doc_len push cap AND the other keys' would-be-skipped
+# decode volume clears this floor, the whole match set computes
+# driver-side (rare list + candidate-only decode of the others) and
+# the facet table is read through a pushed doc_id In-list instead of a
+# corpus-scale scan + join.  Below the floor the two extra driver jobs
+# cost more than the full facet path (same overhead shape as the
+# other candidate paths; bench.py big_facet_counts is the measured
+# point: 54 MB rchar -> ~1 MB with the pushed read at 1M docs).
+FACET_AND_PRUNE_MIN_SKIPPABLE = 100_000
+FACET_AND_PRUNE_MIN_SKIPPABLE_CONF = "spark.iib.facetAndPruneMinSkippable"
 
 # Serving-config overrides (VERDICT r6 #3): the module constants above
 # are MEASURED floors for THIS box's decode generation and page-cache
@@ -786,7 +805,7 @@ def _try_bmw_or_decode(
     # passes (theta, bound check, scoring) as MOST of the pruned
     # query's cold bytes at 30M docs (BENCH/SCALE.md).
     light_dec = decode_matched_rows(light_rows)
-    lrows = light_dec.select("doc_id", "df", "weight", "tf").collect()
+    lrows = light_dec.select("key", "doc_id", "df", "weight", "tf").collect()
     if not lrows:
         return None
     cand_ids = np.unique(np.array([r["doc_id"] for r in lrows], np.int64))
@@ -826,11 +845,6 @@ def _try_bmw_or_decode(
         # is exact; otherwise fall back to full decode (correct, and
         # genuinely required — the top-k then hinges on tiny
         # differences among near-identical negative sums).
-        # localCheckpoint (eager): the candidate-bounded frame is
-        # consumed twice — the hrows bound-check collect AND the
-        # returned union — and an uncached mapInPandas would decode
-        # the heavy candidate blocks twice and double-count the
-        # decoded/total pruning accumulators (ADVICE r4)
         if ioprune is not None:
             # candidate-only decode ⇒ candidate-free chunks contribute
             # nothing; skip their payload at the scan (r7)
@@ -842,10 +856,12 @@ def _try_bmw_or_decode(
             heavy_rows, cand_sorted, float("inf"),
             {m["key"]: 0.0 for m in heavy},
             n_docs, min_doc_len, davr, counters=counters, cand_only=True,
-        ).localCheckpoint()
+        )
         # bound check driver-side: heavy_cand is candidate-only, so its
         # docs all sit in dl_map already — no docs pass at all (r7)
-        hrows = heavy_cand.select("doc_id", "df", "weight", "tf").collect()
+        hrows = heavy_cand.select(
+            "key", "doc_id", "df", "weight", "tf"
+        ).collect()
         hmap = _driver_contribs(hrows, dl_map, n_docs, davr)
         finals = sorted(
             (v + hmap.get(d, 0.0) for d, v in partials.items()),
@@ -862,32 +878,60 @@ def _try_bmw_or_decode(
         margin = 0.0 if round_digits is None else 0.5 * 10.0 ** (-round_digits)
         if theta_c <= ub_noncand + margin:
             return None
-        # the returned frame is PROVABLY bounded — light postings by
-        # cand_limit, heavy_cand by |candidates| x #heavy — but it
-        # comes out of mapInPandas, whose unknown size statistics made
-        # _score_topk's doc_len join a SORT-MERGE that shuffled the
-        # entire corpus-scale docs table (measured at 30M docs: a
-        # ~0.5 GB constant read floor that swamped everything the scan
-        # prune saved; BENCH/SCALE.md r7).  The explicit hint turns the
-        # scoring tail into a broadcast hash join over the docs SCAN —
-        # and since the bound check just PROVED every result doc is a
-        # candidate, the scan itself narrows to the candidate ids
-        # (docs_narrow), the same pushed row-group read as
-        # _doc_lens_for.  End to end the rare-candidate query now reads
-        # O(candidates) — surviving chunks + candidate doc_lens — not
-        # O(corpus).
-        decoded = F.broadcast(
-            decode_matched_rows(light_rows).unionByName(heavy_cand)
+        # driver-local finish (r8): every posting row that can reach
+        # the result is ALREADY on the driver (lrows from the theta
+        # pass, hrows from the bound check — both cand_limit-bounded by
+        # contract), and the bound check just PROVED every result doc
+        # is a candidate whose doc_len sits in dl_map.  So the scoring
+        # tail's inputs become LOCAL relations: no localCheckpoint of
+        # the heavy decode, no second decode execution, and no second
+        # pushed docs scan (the r7 path re-read candidate doc_lens it
+        # had already fetched).  Scores are unchanged — _score_topk
+        # still computes them in bm25_expr over the same values; docs
+        # absent from dl_map (doc_filter) stay absent, preserving
+        # inner-join parity.  Saves 2 jobs + one candidate-scan read
+        # per pruned query; at 1M docs the forced-BMW entry's fixed
+        # overhead is mostly these jobs.
+        dec_pdf = pd.DataFrame(
+            {
+                "key": [r["key"] for r in lrows] + [r["key"] for r in hrows],
+                "df": np.fromiter(
+                    (r["df"] for r in lrows + hrows), np.int64,
+                    count=len(lrows) + len(hrows),
+                ),
+                "weight": np.fromiter(
+                    (r["weight"] for r in lrows + hrows), np.int32,
+                    count=len(lrows) + len(hrows),
+                ),
+                "doc_id": np.fromiter(
+                    (r["doc_id"] for r in lrows + hrows), np.int64,
+                    count=len(lrows) + len(hrows),
+                ),
+                "tf": np.fromiter(
+                    (r["tf"] for r in lrows + hrows), np.int64,
+                    count=len(lrows) + len(hrows),
+                ),
+            }
         )
-        docs_narrow = None
-        if cand_sorted.size <= DOCLEN_PUSH_CAP:
-            docs_narrow = (
-                narrow(cand_sorted)
-                if narrow is not None
-                else docs.filter(
-                    F.col("doc_id").isin([int(x) for x in cand_sorted])
-                )
-            )
+        decoded = F.broadcast(
+            spark.createDataFrame(dec_pdf, schema=_DECODED_SCHEMA)
+        )
+        docs_narrow = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": np.fromiter(
+                        dl_map.keys(), np.int64, count=len(dl_map)
+                    ),
+                    # double, holding exactly the source values: the
+                    # scorer casts a long doc_len to double anyway, so
+                    # the computed scores are bit-identical
+                    "doc_len": np.fromiter(
+                        dl_map.values(), np.float64, count=len(dl_map)
+                    ),
+                }
+            ),
+            schema="doc_id long, doc_len double",
+        )
         return decoded, docs_narrow
 
     total_ub = sum(full_ubs.values())
@@ -1119,6 +1163,7 @@ def _lookup_chunk_meta(
             F.max("weight").alias("weight"),
             F.max(F.element_at("last_doc_ids", -1)).alias("last_doc"),
             F.max(F.array_max("max_tf")).alias("mt"),
+            F.count("*").alias("n_chunks"),
         )
         .collect()
     )
@@ -1132,6 +1177,7 @@ def _lookup_chunk_meta(
                 "weight": int(r["weight"]),
                 "last_doc": int(r["last_doc"]),
                 "mt": int(r["mt"]),
+                "n_chunks": int(r["n_chunks"]),
             }
     if not winners:
         return empty, {}
@@ -1337,6 +1383,13 @@ def topk_bm25_chunked(
         min_dl = float(stats.get("min_doc_len", 1.0))
 
         def ioprune(heavy_keys, theta, cand_sorted, others_ub, cand_only):
+            # chunk-granule prune can skip at most n_chunks reads: with
+            # too few heavy chunks the metadata job cannot pay for
+            # itself (r8; the lookup already collected exact counts)
+            if sum(
+                winners[k]["n_chunks"] for k in heavy_keys
+            ) < OR_IOPRUNE_MIN_CHUNKS:
+                return None
             return _chunk_ioprune_filter(
                 spark, chunks, winners, strict, heavy_keys, theta,
                 cand_sorted, others_ub, n_docs, min_dl, davr,
@@ -1440,20 +1493,92 @@ def facet_counts(
     against the facet table; the final groupBy map-side-combines to
     #distinct facet values.  No payload ever reaches the driver.
     """
+    if mode not in ("and", "or"):
+        # before any lookup/action (ADVICE r7: an invalid mode used to
+        # trigger a full distinct-count job on the merged layout first)
+        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
     terms = tokenize_query(query)
-    if "first_doc_id" in index.columns:
+    chunked = "first_doc_id" in index.columns
+    winners: dict = {}
+    if chunked:
         matched, winners = _lookup_chunk_meta(index, terms, strict)
         n_keys = len(winners)
     else:
         matched = lookup_index_rows(index, terms, strict)
         n_keys = matched.select("key").distinct().count()
-    if mode not in ("and", "or"):
-        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
     facet_side = facets.select("doc_id", *facet_cols)
     if n_keys == 0:
         return facet_side.drop("doc_id").limit(0).withColumn(
             "n_docs", F.lit(0).cast("long")
         )
+
+    def _ordered(out: DataFrame) -> DataFrame:
+        out = out.orderBy(
+            F.col("n_docs").desc(), *[F.col(c).asc() for c in facet_cols]
+        )
+        return out.limit(top) if top is not None else out
+
+    if chunked and mode == "and" and exclude_doc_ids is None:
+        # r8 conjunctive candidate path: the match set is bounded by
+        # the rarest key's list.  Decode it fully, candidate-only
+        # decode the other keys (ride-alongs dropped in-decoder), and
+        # intersect DRIVER-side — every term of that work is
+        # O(candidates).  The facet read then pushes the matched ids
+        # into the scan (docs files are doc_id-contiguous by
+        # construction), replacing the corpus-scale facet scan + join.
+        rare_key, rare = min(winners.items(), key=lambda kv: kv[1]["term_df"])
+        skippable = sum(
+            w["term_df"] for k, w in winners.items() if k != rare_key
+        )
+        floor = spark.conf.get(FACET_AND_PRUNE_MIN_SKIPPABLE_CONF, None)
+        floor = FACET_AND_PRUNE_MIN_SKIPPABLE if floor is None else int(floor)
+        if rare["term_df"] <= DOCLEN_PUSH_CAP and skippable >= floor:
+            def rows_for(keys: list[str]) -> DataFrame:
+                wdf = spark.createDataFrame(
+                    [
+                        (k, winners[k]["term"], winners[k]["term_df"])
+                        for k in keys
+                    ],
+                    schema="key string, term string, term_df long",
+                )
+                return _match_keys(
+                    index, {k: 1 for k in keys}, strict
+                ).join(F.broadcast(wdf), ["key", "term"])
+
+            cand = np.sort(
+                np.array(
+                    [
+                        r["doc_id"]
+                        for r in decode_matched_rows(rows_for([rare_key]))
+                        .select("doc_id")
+                        .collect()
+                    ],
+                    dtype=np.int64,
+                )
+            )
+            counts = {int(d): 1 for d in cand}
+            if n_keys > 1:
+                import collections
+
+                others = decode_matched_rows_bmw(
+                    rows_for([k for k in winners if k != rare_key]),
+                    cand, float("inf"), collections.defaultdict(float),
+                    n_docs=1 << 62, min_doc_len=1.0, davr=1.0,
+                    cand_only=True,
+                )
+                for r in others.select("doc_id").collect():
+                    counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
+            match = [d for d, c in counts.items() if c == n_keys]
+            if not match:
+                return facet_side.drop("doc_id").limit(0).withColumn(
+                    "n_docs", F.lit(0).cast("long")
+                )
+            return _ordered(
+                facet_side.filter(F.col("doc_id").isin(match))
+                .groupBy(*facet_cols)
+                .agg(F.count("*").cast("long").alias("n_docs"))
+            )
+
     decoded = decode_matched_rows(matched)
     if mode == "and":
         match_ids = (
@@ -1468,12 +1593,14 @@ def facet_counts(
         match_ids = match_ids.join(
             exclude_doc_ids.select("doc_id"), "doc_id", "left_anti"
         )
-    out = (
+    if mode == "and" and winners:
+        # the match set is bounded by the rarest key's df — broadcast
+        # it while that bound is broadcast-sized, so the facet table
+        # streams through a hash join instead of shuffling (r8)
+        if min(w["term_df"] for w in winners.values()) <= 1_000_000:
+            match_ids = F.broadcast(match_ids)
+    return _ordered(
         match_ids.join(facet_side, "doc_id")
         .groupBy(*facet_cols)
         .agg(F.count("*").cast("long").alias("n_docs"))
-        .orderBy(
-            F.col("n_docs").desc(), *[F.col(c).asc() for c in facet_cols]
-        )
     )
-    return out.limit(top) if top is not None else out

@@ -194,3 +194,37 @@ def test_local_facets_match_spark_surface(spark, built_root, query, mode):
         ).collect()
     ]
     assert facet_counts_local(li, query, ["repo"], mode=mode) == want_t
+
+
+def test_and_candidate_path_forced_equals_unpruned(spark, env):
+    """r8 driver-side conjunctive facet path: with the skippable floor
+    forced to 0 the candidate route must engage on the chunked layout
+    and produce counts identical to the unpruned path and the brute
+    expectation."""
+    from invertedindexbuilder_spark.operators.query_exec import (
+        FACET_AND_PRUNE_MIN_SKIPPABLE_CONF,
+    )
+
+    want = _expect([d for d in range(90) if d % 6 == 0])
+    spark.conf.set(FACET_AND_PRUNE_MIN_SKIPPABLE_CONF, "0")
+    try:
+        pruned = facet_counts(
+            spark, env["chunks"], env["facets"], "data join",
+            ["lang", "source"], mode="and",
+        )
+        assert _got(pruned) == want
+        rows = pruned.collect()
+        keys = [(-r["n_docs"], r["lang"], r["source"]) for r in rows]
+        assert keys == sorted(keys)
+        # single-key query through the engaged path
+        single = facet_counts(
+            spark, env["chunks"], env["facets"], "join", ["lang"], mode="and",
+        )
+        assert _got(single, n_cols=1) == {
+            (k,): v
+            for (k,), v in _expect(
+                [d for d in range(90) if d % 3 == 0], cols=("lang",)
+            ).items()
+        }
+    finally:
+        spark.conf.unset(FACET_AND_PRUNE_MIN_SKIPPABLE_CONF)

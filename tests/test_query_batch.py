@@ -117,3 +117,61 @@ def test_batch_equals_per_query(spark, env, mode, table):
         assert sorted(got.get(qid, [])) == sorted(want), f"query {qid}"
     assert 5 not in got and 6 not in got
     assert got  # at least the well-formed queries answered
+
+
+def test_batch_and_candidate_prune_forced_equals_unpruned(
+    spark, env, monkeypatch
+):
+    """r8 batch conjunctive candidate pruning: with the skippable-volume
+    floor forced to 0 the pruned path must ENGAGE (asserted via a spy on
+    the candidate-block decoder; the query subset keeps the union rare
+    df under the doc_len push cap) and return per-query results
+    identical to the unpruned batch and to the single-query operator."""
+    import invertedindexbuilder_spark.operators.query_batch as qb
+
+    # rare dfs: 'data' ~273 + 'rare' ~12 -> cand_total < DOCLEN_PUSH_CAP
+    queries = [(1, "data mid"), (2, "rare the"), (3, "data data the")]
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+
+    calls = []
+    real = qb.decode_matched_rows_bmw
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(qb, "decode_matched_rows_bmw", spy)
+
+    def run():
+        out = qb.topk_bm25_batch(
+            spark, env["chunks"], env["docs"], env["stats"], qdf,
+            mode="and", k=5, round_digits=6,
+        ).collect()
+        got: dict[int, list] = {}
+        for r in out:
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], r["score"])
+            )
+        return got
+
+    spark.conf.set(qb.BATCH_AND_PRUNE_MIN_SKIPPABLE_CONF, "0")
+    try:
+        pruned = run()
+    finally:
+        spark.conf.unset(qb.BATCH_AND_PRUNE_MIN_SKIPPABLE_CONF)
+    assert calls, "forced floor must engage the candidate-pruned path"
+    calls.clear()
+    full = run()
+    assert not calls, "default floor must keep the small batch unpruned"
+    assert pruned == full and pruned
+    for qid, text in queries:
+        want = [
+            (i + 1, r["doc_id"], r["score"])
+            for i, r in enumerate(
+                topk_bm25_chunked(
+                    spark, env["chunks"], env["docs"], env["stats"], text,
+                    mode="and", k=5, round_digits=6,
+                ).collect()
+            )
+        ]
+        assert sorted(pruned.get(qid, [])) == sorted(want), f"query {qid}"
