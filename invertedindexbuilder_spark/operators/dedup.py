@@ -375,15 +375,23 @@ def minhash_dedup(
     differ on LSH candidate recall — tested equal on planted dups).
     """
     sh = doc_shingles(docs, n, text_col).persist()
+    # persist the candidate pairs too (r8): the verify stage consumes
+    # them THREE times (two semi-join restrictions + the final pair
+    # filter), and an unpersisted frame re-ran the whole signature agg
+    # + band join per consumer — measured as most of the pipeline's
+    # wall at sf0.1 (verify 5.0 s of a 5.0 s run; 2.6 s persisted).
+    # The frame is the LSH candidate set: bounded by near-dup density,
+    # executor-storage only, released with the shingle cache below.
     cands = minhash_lsh_pairs(
         docs, num_hashes, bands, n, text_col, shingles=sh, hash_mode=hash_mode
-    )
+    ).persist()
     out = jaccard_pairs(
         docs, n, threshold, text_col, candidates=cands, shingles=sh
     )
     if release:
         out = out.localCheckpoint()  # eager: pins only the tiny pair set
         sh.unpersist()
+        cands.unpersist()
     return out
 
 

@@ -65,9 +65,18 @@ def doc_id_map(
     release the internal persist after materializing the output.
     """
     sort_keys = sort_keys or SORT_KEYS
-    ids, total = _assign(
-        df.select(*sort_keys), sort_keys, num_partitions, cache_scope
-    )
+    # persist the key projection BEFORE the range shuffle (r8): the
+    # range partitioner runs a separate reservoir-sampling job over the
+    # child plan for its boundaries, so an unpersisted child EXECUTES
+    # TWICE (boundary sample + the shuffle itself) — for an opaque
+    # source (a generator, a mapInArrow ingest transform, a filtered
+    # scan) that is a full second pass over every input row.  Keys
+    # only, same size class as _assign's post-shuffle persist; released
+    # through the same CacheScope.
+    keys = df.select(*sort_keys).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_scope is not None:
+        cache_scope.add(keys)
+    ids, total = _assign(keys, sort_keys, num_partitions, cache_scope)
     return ids, total
 
 
