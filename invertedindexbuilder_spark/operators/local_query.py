@@ -442,10 +442,20 @@ def facet_counts_local(
         columns=["doc_id"] + list(facet_cols),
     ).to_pandas()
     fac = fac[fac["doc_id"].isin(ids)]
-    counts = fac.groupby(list(facet_cols)).size().reset_index(name="n_docs")
+    # dropna=False (ADVICE r7): pandas' default silently drops null
+    # facet groups while the Spark surface keeps a null group — the
+    # surfaces must count identically on nullable facet columns
+    counts = (
+        fac.groupby(list(facet_cols), dropna=False)
+        .size()
+        .reset_index(name="n_docs")
+    )
     counts = counts.sort_values(
         ["n_docs"] + list(facet_cols),
         ascending=[False] + [True] * len(facet_cols),
+        # Spark's asc ordering places nulls FIRST; pandas defaults to
+        # last — match the Spark surface for null facet groups
+        na_position="first",
     )
     rows = [
         tuple(r[:-1]) + (int(r[-1]),)

@@ -23,7 +23,12 @@ since the reference C binary's own query path carries defect D3):
 - merged:   query_exec.topk_bm25 over the one-row-per-term index,
 - chunked:  query_exec.topk_bm25_chunked over INDEX_CHUNK (the 100 TB
             serving path),
-- local:    local_query.LocalIndex/topk_local (the -q session analog).
+- local:    local_query.LocalIndex/topk_local (the -q session analog),
+- sharded:  topk_bm25_chunked over a two-shard sharded_view split on
+            the id midpoint (scatter-gather serving; r8, VERDICT r7
+            #6),
+- batch:    query_batch.topk_bm25_batch — all queries in one job per
+            mode, split per query_id (r8, VERDICT r7 #6).
 
 A query counts as rank-identical iff the doc_id sequence at k equals
 the oracle's exactly AND every score matches within 1e-9 relative.
@@ -64,10 +69,30 @@ def build_query_set(oracle) -> list[str]:
     def stratum(lo_q: float, hi_q: float) -> list[str]:
         lo, hi = np.quantile(dfs, [lo_q, hi_q])
         idx = [i for i in range(len(terms)) if lo <= dfs[i] <= hi]
+        if not idx:  # degenerate lexicon: stratum empty (ADVICE r7)
+            return []
         return [terms[i] for i in rng.choice(idx, size=min(8, len(idx)),
                                              replace=False)]
 
-    rare, mid, heavy = stratum(0.0, 0.25), stratum(0.4, 0.6), stratum(0.9, 1.0)
+    # pad each stratum by cycling (ADVICE r7): on a small or skewed
+    # lexicon a stratum can come back with <8 members, and the fixed
+    # slice indexes below would raise IndexError / silently shrink the
+    # query set; cycling keeps every query shape populated (duplicate
+    # terms inside a query are legal — the engine scores weights)
+    def pad(xs: list[str], n: int = 8) -> list[str]:
+        if not xs:
+            return []
+        return [xs[i % len(xs)] for i in range(n)]
+
+    rare, mid, heavy = (
+        pad(stratum(0.0, 0.25)), pad(stratum(0.4, 0.6)),
+        pad(stratum(0.9, 1.0)),
+    )
+    if not (rare and mid and heavy):
+        raise SystemExit(
+            "lexicon too small to build the reference-class query set "
+            f"({len(terms)} terms) — use a bigger corpus"
+        )
     qs: list[str] = []
     qs += rare[:4] + mid[:4] + heavy[:4]                     # single-term
     qs += [f"{r} {h}" for r, h in zip(rare[:3], heavy[:3])]  # rare+heavy
@@ -151,8 +176,80 @@ def main() -> int:
     def surface_local(q, mode):
         return topk_local(li, q, mode=mode, k=args.k)
 
+    # ---- sharded scatter-gather surface (VERDICT r7 #6): two shards
+    # split on the global id midpoint, chunk-encoded from the oracle's
+    # id-aligned postings; results must equal the oracle through the
+    # sharded_view rebase machinery (zero payload bytes rewritten) ----
+    from invertedindexbuilder_spark.operators.index_build import encode_chunks
+    from invertedindexbuilder_spark.operators.sharding import sharded_view
+
+    pt = oracle.postings_table()
+    mid_id = oracle.n_docs // 2
+    shard_list = []
+    for lo, hi in ((0, mid_id), (mid_id, oracle.n_docs)):
+        sl = pt[(pt.doc_id >= lo) & (pt.doc_id < hi)].copy()
+        sl["doc_id"] -= lo
+        sdocs = oracle.pdf[
+            (oracle.pdf.doc_id >= lo) & (oracle.pdf.doc_id < hi)
+        ]
+        shard_list.append({
+            "chunks": encode_chunks(
+                spark.createDataFrame(
+                    sl, schema="term string, doc_id long, tf long"
+                ),
+                salt_threshold=4096, chunk_blocks=8,
+            ).cache(),
+            "docs": spark.createDataFrame(
+                sdocs[["doc_id", "doc_len"]].assign(
+                    doc_id=sdocs.doc_id - lo
+                ),
+                schema="doc_id long, doc_len long",
+            ).cache(),
+            "stats": {
+                "n_docs": int(hi - lo),
+                "sum_doc_len": int(sdocs.doc_len.sum()),
+                "min_doc_len": int(sdocs.doc_len.min()),
+            },
+        })
+    view = sharded_view(shard_list)
+
+    def surface_sharded(q, mode):
+        return [(r["doc_id"], r["score"]) for r in topk_bm25_chunked(
+            spark, view["chunks"], view["docs"], view["stats"], q,
+            mode=mode, k=args.k, docs_shards=view["docs_shards"],
+        ).collect()]
+
+    # ---- batch surface: every query answered in ONE job per mode,
+    # split per query_id (the production serving shape) ----
+    from invertedindexbuilder_spark.operators.query_batch import (
+        topk_bm25_batch,
+    )
+
+    batch_cache: dict[str, dict[int, list]] = {}
+    qid_of = {q: i for i, q in enumerate(queries)}
+
+    def surface_batch(q, mode):
+        if mode not in batch_cache:
+            qdf = spark.createDataFrame(
+                list(enumerate(queries)), "query_id long, text string"
+            )
+            res = topk_bm25_batch(
+                spark, chunks, docs, stats, qdf, mode=mode, k=args.k
+            ).collect()
+            per: dict[int, list] = {}
+            for r in res:
+                per.setdefault(r["query_id"], []).append(
+                    (r["rank"], r["doc_id"], r["score"])
+                )
+            batch_cache[mode] = {
+                qid: [(d, s) for _, d, s in sorted(v)]
+                for qid, v in per.items()
+            }
+        return batch_cache[mode].get(qid_of[q], [])
+
     surfaces = {"merged": surface_merged, "chunked": surface_chunked,
-                "local": surface_local}
+                "local": surface_local, "sharded": surface_sharded,
+                "batch": surface_batch}
     per_surface = {name: [0, 0] for name in surfaces}  # [identical, total]
     mismatches = []
     for q in queries:

@@ -51,11 +51,12 @@ def main() -> int:
                     help="with --spark: faceted search — a SQL predicate "
                          "over docs columns, e.g. 'doc_id % 3 = 0'")
     ap.add_argument("--facets", metavar="COL1,COL2", default=None,
-                    help="with --spark: print the facet distribution "
-                         "(count desc) of the boolean match set over "
-                         "docs-table columns — e.g. --facets repo — "
-                         "instead of ranking "
-                         "(operators/query_exec.facet_counts)")
+                    help="print the facet distribution (count desc) of "
+                         "the boolean match set over docs-table columns "
+                         "— e.g. --facets repo — instead of ranking; "
+                         "works on both runners (--spark: "
+                         "query_exec.facet_counts; local: "
+                         "local_query.facet_counts_local)")
     ap.add_argument("--explain", action="store_true",
                     help="with --spark: print a JSON line of pruning "
                          "evidence to stderr after each query — blocks "

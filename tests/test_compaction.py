@@ -296,13 +296,13 @@ def test_compact_delta_repartition_bounded_by_cores(spark, tmp_path, monkeypatch
     build(spark, synthetic_docs_src(spark, 200), root, write_chunks=True)
 
     seen: list[int] = []
-    real = build_mod.build_postings_jvm
+    real = build_mod.build_postings  # the r8 'arrow' default path
 
     def spy(df, *a, **kw):
         seen.append(df.rdd.getNumPartitions())
         return real(df, *a, **kw)
 
-    monkeypatch.setattr(build_mod, "build_postings_jvm", spy)
+    monkeypatch.setattr(build_mod, "build_postings", spy)
     # an under-split delta (coalesce to 1) + an oversized partition
     # target: the tokenize input must land on <= core count, never 64
     compact(

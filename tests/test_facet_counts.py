@@ -228,3 +228,57 @@ def test_and_candidate_path_forced_equals_unpruned(spark, env):
         }
     finally:
         spark.conf.unset(FACET_AND_PRUNE_MIN_SKIPPABLE_CONF)
+
+
+@pytest.mark.parametrize("mode", ["and", "or"])
+def test_sharded_view_facets_match_single_build(spark, env, mode):
+    """Sharded facet parity (VERDICT r7 #6): facet_counts over a
+    two-shard sharded_view must count identically to the single chunked
+    build — the SURVEY row claims sharded facets; pin it beyond the CLI
+    wiring."""
+    from invertedindexbuilder_spark.operators.postings import (
+        build_postings as _bp,
+    )
+    from invertedindexbuilder_spark.operators.sharding import sharded_view
+    from invertedindexbuilder_spark.sources.docs_src import (
+        docs_from_documents_table as _dfd,
+    )
+
+    # rebuild the fixture's corpus split at the id midpoint; local ids
+    # = global - lo, exactly the merge_builds id contract
+    rows = [
+        (d, " ".join(sorted(_toks(d))) + " .", LANGS[d % 3], SOURCES[d % 2])
+        for d in range(90)
+    ]
+    mid = 45
+    shards = []
+    for lo, hi in ((0, mid), (mid, 90)):
+        documents = spark.createDataFrame(
+            [(d - lo, t, la, so) for (d, t, la, so) in rows if lo <= d < hi],
+            "doc_id long, text string, lang string, source string",
+        )
+        docs = _dfd(documents).cache()
+        shards.append({
+            "chunks": encode_chunks(
+                _bp(docs), salt_threshold=16, chunk_blocks=1
+            ).cache(),
+            "docs": docs.select("doc_id", "doc_len").cache(),
+            "stats": {
+                "n_docs": hi - lo,
+                "sum_doc_len": docs.agg(F.sum("doc_len")).collect()[0][0],
+                "min_doc_len": docs.agg(F.min("doc_len")).collect()[0][0],
+            },
+        })
+    view = sharded_view(shards)
+    for query, cols in (("data join", ["lang", "source"]),
+                        ("data window", ["lang"])):
+        single = facet_counts(
+            spark, env["chunks"], env["facets"], query, cols, mode=mode,
+        )
+        shard_out = facet_counts(
+            spark, view["chunks"], env["facets"], query, cols, mode=mode,
+        )
+        n = len(cols)
+        assert _got(shard_out, n_cols=n) == _got(single, n_cols=n), (
+            query, mode,
+        )

@@ -157,15 +157,19 @@ def test_or_ioprune_pushes_scan_filters(spark, tmp_path):
     )
     plan = _plan(pos)
     assert re.search(r"PushedFilters: \[[^\]]*In\(first_doc_id", plan), plan
-    # negative-IDF heavy: the cand-only branch localCheckpoints the
-    # (already scan-pruned) heavy decode, so pin ITS contract on the
-    # scoring tail — candidate-In-pushed docs scan, no corpus shuffle
+    # negative-IDF heavy (r8 driver-local finish): after the bound
+    # check, every surviving posting row and candidate doc_len is
+    # already on the driver, so the returned frame's scoring tail must
+    # read LOCAL relations only — no parquet scan at all (the r7
+    # contract was a candidate-In-pushed docs scan; r8 removes even
+    # that read) and no corpus-scale doc_len shuffle
     neg = topk_bm25_chunked(
         spark, chunks, docs, stats, "needle stopneg", mode="or", k=10,
         or_prune=True, heavy_df=64,
     )
     plan = _plan(neg)
-    assert re.search(r"PushedFilters: \[[^\]]*In\(doc_id", plan), plan
+    assert "LocalTableScan" in plan, plan
+    assert "Scan parquet" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
 
 
