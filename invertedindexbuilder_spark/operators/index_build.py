@@ -13,10 +13,12 @@ final_build.c):
 - (term, doc_id) pairs are globally unique by construction (tf is
   finished inside the tokenize stage), so the reference's duplicate-key
   combine (M2) is vacuous here.
-- The encoder is a streaming mapInPandas over each sorted partition:
-  contiguous (term, salt) runs are gap+varbyte block-encoded with numpy
-  (byte-identical to the reference block format) with carry-over of the
-  partial trailing run between Arrow batches — no applyInPandas
+- The encoder is a streaming mapInArrow over each sorted partition
+  (r8 — was mapInPandas; runs are detected on Arrow dictionary codes
+  so term strings never materialize as pandas objects): contiguous
+  (term, salt) runs are gap+varbyte block-encoded with numpy
+  (byte-identical to the reference block format) with carry-over of
+  the partial trailing run between batches — no applyInPandas
   re-shuffle, no per-term Python in the hot loop beyond one call per
   term.
 
@@ -242,61 +244,131 @@ def encode_chunks(
     ).sortWithinPartitions("term", "salt", "doc_id")
 
     def encoder(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if len(pdf) == 0:
+        # Arrow-native (r8, guide §4.2): the sorted (term, salt,
+        # doc_id, tf) stream arrives as Arrow record batches; runs are
+        # detected on dictionary CODES (no pandas object-string
+        # materialization of 10^7 term cells), doc/tf go straight to
+        # numpy, and only the handful of run-boundary term strings are
+        # ever converted to Python.  Output multiset and bytes are
+        # identical to the old pandas carry loop (encode_posting_list
+        # is unchanged; pinned by the byte-exactness suite).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out_buf = _ChunkRowBuffer()
+        carry: tuple[str, int, np.ndarray, np.ndarray] | None = None
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            t_last = pdf["term"].iloc[-1]
-            s_last = pdf["salt"].iloc[-1]
-            tail = (pdf["term"].values == t_last) & (pdf["salt"].values == s_last)
-            cut = len(pdf) - int(tail.sum())
-            body = pdf.iloc[:cut]
-            carry = pdf.iloc[cut:]
-            if len(body):
-                yield _encode_runs(body)
-            if len(carry) >= spill_postings:
-                # carry-spill: flush the block-aligned prefix of an
-                # oversized run as its own chunk row (same term/salt,
-                # disjoint doc range — merge_chunks orders chunks by
-                # first_doc_id, so multiple rows per key are valid and
-                # block alignment preserves merged byte-identity).
-                flush_n = (len(carry) // BLOCK_SIZE) * BLOCK_SIZE
-                if flush_n:
-                    yield _encode_runs(carry.iloc[:flush_n])
-                    carry = carry.iloc[flush_n:] if flush_n < len(carry) else None
-        if carry is not None and len(carry):
-            yield _encode_runs(carry)
+            names = batch.schema.names  # columns BY NAME, not position
+            col = lambda n: batch.column(names.index(n))  # noqa: E731
+            d = pc.dictionary_encode(col("term"))
+            codes = np.asarray(d.indices, dtype=np.int64)
+            vocab = d.dictionary
+            salts = np.asarray(col("salt"), dtype=np.int32)
+            docs = np.asarray(col("doc_id"), dtype=np.int64)
+            tfs = np.asarray(col("tf"), dtype=np.int64)
+            change = np.flatnonzero(
+                (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
+            ) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(codes)]))
+            # one vectorized lookup of every run-boundary term string
+            run_terms = vocab.take(pa.array(codes[starts])).to_pylist()
+            first_term = run_terms[0]
+            first_salt = int(salts[0])
+            if carry is not None and (
+                carry[0] != first_term or carry[1] != first_salt
+            ):
+                out_buf.add(carry[0], carry[1], carry[2], carry[3])
+                carry = None
+            for i, (s, e) in enumerate(zip(starts, ends)):
+                term = run_terms[i]
+                salt = int(salts[s])
+                run_docs, run_tfs = docs[s:e], tfs[s:e]
+                if carry is not None and i == 0:
+                    run_docs = np.concatenate((carry[2], run_docs))
+                    run_tfs = np.concatenate((carry[3], run_tfs))
+                    carry = None
+                if i == len(starts) - 1:
+                    # tail run may continue into the next batch
+                    carry = (term, salt, run_docs, run_tfs)
+                    if len(run_docs) >= spill_postings:
+                        # carry-spill: flush the block-aligned prefix
+                        # of an oversized run as its own chunk row
+                        # (same term/salt, disjoint doc range —
+                        # merge_chunks orders chunks by first_doc_id,
+                        # so multiple rows per key are valid and block
+                        # alignment preserves merged byte-identity).
+                        flush_n = (len(run_docs) // BLOCK_SIZE) * BLOCK_SIZE
+                        if flush_n:
+                            out_buf.add(
+                                term, salt,
+                                run_docs[:flush_n], run_tfs[:flush_n],
+                            )
+                            carry = (
+                                (term, salt,
+                                 run_docs[flush_n:], run_tfs[flush_n:])
+                                if flush_n < len(run_docs) else None
+                            )
+                else:
+                    out_buf.add(term, salt, run_docs, run_tfs)
+            b = out_buf.drain()
+            if b is not None:
+                yield b
+        if carry is not None and len(carry[2]):
+            out_buf.add(carry[0], carry[1], carry[2], carry[3])
+        b = out_buf.drain()
+        if b is not None:
+            yield b
 
-    return ranged.mapInPandas(encoder, schema=INDEX_CHUNK)
+    return ranged.mapInArrow(encoder, schema=INDEX_CHUNK)
 
 
-def _encode_runs(body: pd.DataFrame) -> pd.DataFrame:
-    """Encode each contiguous (term, salt) run of a sorted frame."""
-    terms = body["term"].values
-    salts = body["salt"].values
-    docs_all = body["doc_id"].values.astype(np.int64)
-    tfs_all = body["tf"].values.astype(np.int64)
-    change = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
-    starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [len(body)]))
-    out = {k: [] for k in INDEX_CHUNK.fieldNames()}
-    for s, e in zip(starts, ends):
-        docs = docs_all[s:e]
-        tfs = tfs_all[s:e]
+class _ChunkRowBuffer:
+    """Accumulates encoded chunk rows and drains them as one Arrow
+    record batch per input batch (INDEX_CHUNK schema)."""
+
+    def __init__(self) -> None:
+        self.cols: dict[str, list] = {k: [] for k in INDEX_CHUNK.fieldNames()}
+
+    def add(
+        self, term: str, salt: int, docs: np.ndarray, tfs: np.ndarray
+    ) -> None:
         last, sizes, mtf, payload = encode_posting_list(docs, tfs)
-        out["term"].append(terms[s])
-        out["salt"].append(int(salts[s]))
-        out["first_doc_id"].append(int(docs[0]))
-        out["df"].append(int(e - s))
-        out["last_doc_ids"].append(last.tolist())
-        out["block_bytes"].append([int(x) for x in sizes])
-        out["block_counts"].append([int(x) for x in full_block_counts(e - s)])
-        out["max_tf"].append([int(x) for x in mtf])
-        out["payload"].append(payload)
-    return pd.DataFrame(out)
+        c = self.cols
+        c["term"].append(term)
+        c["salt"].append(int(salt))
+        c["first_doc_id"].append(int(docs[0]))
+        c["df"].append(int(len(docs)))
+        c["last_doc_ids"].append(last.tolist())
+        c["block_bytes"].append([int(x) for x in sizes])
+        c["block_counts"].append([int(x) for x in full_block_counts(len(docs))])
+        c["max_tf"].append([int(x) for x in mtf])
+        c["payload"].append(payload)
+
+    def drain(self):
+        import pyarrow as pa
+
+        if not self.cols["term"]:
+            return None
+        c = self.cols
+        batch = pa.record_batch(
+            [
+                pa.array(c["term"], type=pa.string()),
+                pa.array(c["salt"], type=pa.int32()),
+                pa.array(c["first_doc_id"], type=pa.int64()),
+                pa.array(c["df"], type=pa.int64()),
+                pa.array(c["last_doc_ids"], type=pa.list_(pa.int64())),
+                pa.array(c["block_bytes"], type=pa.list_(pa.int32())),
+                pa.array(c["block_counts"], type=pa.list_(pa.int32())),
+                pa.array(c["max_tf"], type=pa.list_(pa.int32())),
+                pa.array(c["payload"], type=pa.binary()),
+            ],
+            names=list(INDEX_CHUNK.fieldNames()),
+        )
+        self.cols = {k: [] for k in INDEX_CHUNK.fieldNames()}
+        return batch
 
 
 DEFAULT_MERGE_FANIN = 256  # max chunk rows concatenated by one merge task
